@@ -1,0 +1,35 @@
+"""llama32mm_tpu — a TPU-native (JAX/XLA/Pallas/pjit) LLaMA-3.2 multimodal
+framework with the capabilities of emmanuelalo52/LLaMA-3.2-Multimodal.
+
+Public API parity surface (north star): ``MLLAMAConfig``,
+``MllamaForConditionalGeneration`` (functional: ``init_vlm_params`` +
+``vlm_forward``, plus an object wrapper), ``load_hf_model``, ``Linear_LORA``
+(functional: ``llama32mm_tpu.train.lora``).
+"""
+
+from llama32mm_tpu.configs import (
+    LLAMA32Config,
+    MLLAMAConfig,
+    VisionEncoderConfig,
+    llama32_11b_vision_config,
+    llama32_90b_vision_config,
+    tiny_mllama_config,
+)
+from llama32mm_tpu.models import init_vlm_params, vlm_forward
+from llama32mm_tpu.utils.kvcache import KVCache, init_kv_cache
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LLAMA32Config",
+    "MLLAMAConfig",
+    "VisionEncoderConfig",
+    "llama32_11b_vision_config",
+    "llama32_90b_vision_config",
+    "tiny_mllama_config",
+    "init_vlm_params",
+    "vlm_forward",
+    "KVCache",
+    "init_kv_cache",
+    "__version__",
+]

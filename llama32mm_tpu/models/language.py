@@ -1,0 +1,399 @@
+"""LLaMA-3.2 text decoder (GQA + RoPE + fused RMSNorm/SwiGLU), pure-functional.
+
+Parity targets (reference ``Model/model.py``):
+
+- ``Llama3Model`` (``:287-346``) — including the **√hidden_size embedding
+  scale** (``:337-339``, SURVEY §2.9 #1) and reference-style mask preparation;
+- ``TransformerBlock`` (``:257-273``) — including the **residual-stream drop**:
+  the block returns ``attn_out + ff_out`` where the FFN input is
+  ``norm2(attn_out + x)`` and the original ``x`` is *not* added back
+  (SURVEY §2.9 #2);
+- ``GroupQueryAttention`` (``:220-254``) — mask-then-scale softmax, post-RoPE
+  keys cached;
+- ``Llama3ForCausalLM`` (``:349-364``) with weight tying.
+
+Design differences from the reference (TPU-first, not a translation):
+
+- Parameters are a pytree of **stacked** per-layer arrays scanned with
+  ``lax.scan`` (one trace for all layers → fast compiles, PP-ready layout).
+- The KV cache is a preallocated static-shape buffer (see utils/kvcache.py).
+- Decode positions are derived from the cache fill level — fixing the
+  reference's decode-position bug to evident intent (SURVEY §2.9 #9).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llama32mm_tpu.configs import LLAMA32Config
+from llama32mm_tpu.ops.attention import gqa_attention
+from llama32mm_tpu.ops.rmsnorm import fused_add_rmsnorm
+from llama32mm_tpu.ops.rope import apply_rotary_pos_emb, rope_cos_sin
+from llama32mm_tpu.ops.swiglu import fused_swiglu
+from llama32mm_tpu.utils.kvcache import KVCache, update_layer_cache
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype=jnp.float32, minval=-bound, maxval=bound).astype(dtype)
+
+
+def _linear_init(key, shape, dtype):
+    """torch nn.Linear default init: kaiming_uniform(a=√5) → U(±1/√fan_in)."""
+    fan_in = shape[-2]
+    return _uniform(key, shape, 1.0 / math.sqrt(fan_in), dtype)
+
+
+def init_llama_params(key: jax.Array, config: LLAMA32Config) -> dict:
+    """Random-init parameter pytree for ``Llama3ForCausalLM``.
+
+    Linear weights are stored ``[in, out]`` (matmul as ``x @ w``), stacked
+    per-layer arrays carry a leading ``[n_layers]`` axis.
+    """
+    h, hd, nq, nkv, inter = (
+        config.hidden_size,
+        config.head_dim,
+        config.n_heads,
+        config.n_kv_groups,
+        config.hidden_dim,
+    )
+    L = config.n_layers
+    dt = config.jnp_dtype
+    keys = jax.random.split(key, 10)
+
+    tok_emb = jax.random.normal(keys[0], (config.vocab_size, h), dtype=jnp.float32).astype(dt)
+    if config.pad_token_index is not None:
+        # torch nn.Embedding zeroes the padding_idx row at init (Model/model.py:292-295).
+        tok_emb = tok_emb.at[config.pad_token_index].set(0.0)
+
+    params = {
+        "tok_emb": {"weight": tok_emb},
+        "blocks": {
+            "norm1": {"weight": jnp.ones((L, h), dtype=dt)},
+            "att": {
+                "W_query": {"weight": _linear_init(keys[1], (L, h, nq * hd), dt)},
+                "W_key": {"weight": _linear_init(keys[2], (L, h, nkv * hd), dt)},
+                "W_value": {"weight": _linear_init(keys[3], (L, h, nkv * hd), dt)},
+                "out_proj": {"weight": _linear_init(keys[4], (L, nq * hd, h), dt)},
+            },
+            "norm2": {"weight": jnp.ones((L, h), dtype=dt)},
+            "ff": {
+                "swiglu": {
+                    "w_gate": _linear_init(keys[5], (L, h, inter), dt),
+                    "w_up": _linear_init(keys[6], (L, h, inter), dt),
+                },
+                "w_down": {"weight": _linear_init(keys[7], (L, inter, h), dt)},
+            },
+        },
+        "final_norm": {"weight": jnp.ones((h,), dtype=dt)},
+    }
+    return params
+
+
+def init_causal_lm_params(key: jax.Array, config: LLAMA32Config, tie_weights: bool = True) -> dict:
+    k_model, k_head = jax.random.split(key)
+    params = {"model": init_llama_params(k_model, config)}
+    if tie_weights:
+        # lm_head tied to tok_emb (Llama3ForCausalLM.tie_weights, Model/model.py:363-364):
+        # stored as the transposed embedding at apply time; no separate tensor.
+        params["lm_head"] = {"weight": None}
+    else:
+        params["lm_head"] = {
+            "weight": _linear_init(k_head, (config.hidden_size, config.vocab_size), config.jnp_dtype)
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# LoRA (Linear_LORA parity — reference Model/model.py:107-121)
+# ---------------------------------------------------------------------------
+
+
+def _maybe_lora(x, base_out, lora, dropout_rng=None, dropout_rate: float = 0.0):
+    """base_out + (alpha/rank) · (dropout(x) @ A) @ B."""
+    if lora is None:
+        return base_out
+    a, b = lora["lora_a"], lora["lora_b"]
+    scaling = lora["alpha"] / lora["rank"]
+    xin = x
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, x.shape)
+        xin = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+    delta = jnp.matmul(jnp.matmul(xin, a), b)
+    return base_out + (scaling * delta).astype(base_out.dtype)
+
+
+def _linear(x, weight, lora=None, dropout_rng=None, dropout_rate=0.0):
+    out = jnp.matmul(x, weight)
+    return _maybe_lora(x, out, lora, dropout_rng, dropout_rate)
+
+
+# ---------------------------------------------------------------------------
+# Mask / position preparation (parity: Model/model.py:304-326)
+# ---------------------------------------------------------------------------
+
+
+def prepare_attention_mask(attention_mask, batch, seq_len, dtype):
+    """Reference ``_prepare_attention_mask``: 4D masks pass through; 2D (or
+    None → all-ones) padding masks are combined with an upper-triangular -inf
+    causal term plus ``(1 - mask) * finfo.min`` padding term."""
+    if attention_mask is not None and attention_mask.ndim == 4:
+        return attention_mask.astype(dtype)
+    if attention_mask is None:
+        base = jnp.ones((batch, seq_len), dtype=dtype)
+    elif attention_mask.ndim == 2:
+        base = attention_mask.astype(dtype)
+    else:
+        raise ValueError("attention_mask must be 2D or 4D")
+    causal = jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, dtype=dtype), k=1)
+    causal = jnp.broadcast_to(causal[None, None], (batch, 1, seq_len, seq_len))
+    padding = ((1.0 - base) * jnp.finfo(dtype).min)[:, None, None, :]
+    return causal + jnp.broadcast_to(padding, causal.shape)
+
+
+def prepare_position_ids(position_ids, batch, seq_len):
+    if position_ids is not None:
+        return position_ids
+    return jnp.broadcast_to(jnp.arange(seq_len)[None, :], (batch, seq_len))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+class LlamaOutput(NamedTuple):
+    hidden_states: jax.Array
+    kv_cache: Optional[KVCache]
+
+
+def _block_forward(
+    h: jax.Array,
+    layer_params: dict,
+    config: LLAMA32Config,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    k_cache: Optional[jax.Array],
+    v_cache: Optional[jax.Array],
+    cache_pos: Optional[jax.Array],
+    lora: Optional[dict],
+    dropout_rngs: Optional[dict],
+    impl: str,
+):
+    """One TransformerBlock (reference Model/model.py:265-273)."""
+    b, t, _ = h.shape
+    nq, nkv, hd = config.n_heads, config.n_kv_groups, config.head_dim
+    att_p, ff_p = layer_params["att"], layer_params["ff"]
+
+    def lora_for(name):
+        return None if lora is None else lora.get(name)
+
+    def rng_for(name):
+        return None if dropout_rngs is None else dropout_rngs.get(name)
+
+    dr = 0.0 if lora is None else lora.get("dropout", 0.0)
+
+    # norm1 → attention
+    normed = fused_add_rmsnorm(h, layer_params["norm1"]["weight"], config.rms_norm_eps, impl=impl)
+
+    q = _linear(normed, att_p["W_query"]["weight"], lora_for("W_query"), rng_for("W_query"), dr)
+    k = _linear(normed, att_p["W_key"]["weight"], lora_for("W_key"), rng_for("W_key"), dr)
+    v = _linear(normed, att_p["W_value"]["weight"], lora_for("W_value"), rng_for("W_value"), dr)
+    q = q.reshape(b, t, nq, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+
+    q, k = apply_rotary_pos_emb(q, k, cos, sin)
+
+    new_k_cache = new_v_cache = None
+    if k_cache is not None:
+        # Post-RoPE keys cached (parity: Model/model.py:243-246).
+        k_full, v_full = update_layer_cache(k_cache, v_cache, k, v, cache_pos)
+        new_k_cache, new_v_cache = k_full, v_full
+        k, v = k_full, v_full.astype(q.dtype)
+        k = k.astype(q.dtype)
+
+    attn = gqa_attention(q, k, v, mask, impl=impl)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * hd)
+    attn_out = _linear(attn, att_p["out_proj"]["weight"], lora_for("out_proj"), rng_for("out_proj"), dr)
+
+    # Fused add-norm: residual enters the RMSNorm (Model/model.py:271).
+    normed_ff = fused_add_rmsnorm(
+        attn_out, layer_params["norm2"]["weight"], config.rms_norm_eps, residual=h, impl=impl
+    )
+    sw = ff_p["swiglu"]
+    inter = fused_swiglu(
+        normed_ff,
+        sw["w_gate"],
+        sw["w_up"],
+        sw.get("b_gate"),
+        sw.get("b_up"),
+        impl=impl,
+    )
+    if lora is not None and (lora_for("w_gate") is not None or lora_for("w_up") is not None):
+        # LoRA deltas on gate/up recompose the activation exactly:
+        # silu(g+Δg)·(u+Δu) can't be expressed as a delta on `inter`, so
+        # recompute the fallback composition when gate/up adapters are present.
+        gate = _linear(normed_ff, sw["w_gate"], lora_for("w_gate"), rng_for("w_gate"), dr)
+        up = _linear(normed_ff, sw["w_up"], lora_for("w_up"), rng_for("w_up"), dr)
+        inter = jax.nn.silu(gate) * up
+    ff_out = _linear(inter, ff_p["w_down"]["weight"], lora_for("w_down"), rng_for("w_down"), dr)
+
+    # Residual-stream drop (parity, SURVEY §2.9 #2): return attn_out + ff_out;
+    # the block input h is NOT added back.
+    out = attn_out + ff_out
+    return out, new_k_cache, new_v_cache
+
+
+def llama_forward(
+    params: dict,
+    config: LLAMA32Config,
+    input_ids: Optional[jax.Array] = None,
+    input_embeds: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    kv_cache: Optional[KVCache] = None,
+    lora: Optional[dict] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> LlamaOutput:
+    """``Llama3Model.forward`` (reference Model/model.py:328-346).
+
+    ``attention_mask`` may be a 2D padding mask (reference semantics: combined
+    with a causal term) or a prebuilt 4D additive mask ``[B, 1, Tq, Tk]``
+    (pass-through) — with a KV cache, callers should pass the 4D cache-aware
+    mask built by the inference engine.
+    """
+    if input_embeds is not None:
+        h = input_embeds
+    elif input_ids is not None:
+        # Clamp ids so an out-of-range <image> placeholder id (== vocab_size,
+        # SURVEY §2.9 #10) cannot fault; spliced positions are overwritten.
+        ids = jnp.clip(input_ids, 0, config.vocab_size - 1)
+        h = params["tok_emb"]["weight"][ids]
+    else:
+        raise ValueError("Either input_ids or input_embeds must be provided")
+
+    b, t, _ = h.shape
+    # √hidden_size embedding scale (parity, SURVEY §2.9 #1).
+    h = h * jnp.asarray(math.sqrt(config.hidden_size), h.dtype)
+
+    if attention_mask is None or attention_mask.ndim != 4:
+        mask = prepare_attention_mask(attention_mask, b, t, h.dtype)
+    else:
+        mask = attention_mask.astype(h.dtype)
+
+    position_ids = prepare_position_ids(position_ids, b, t)
+    scaling = config.rope_freq_dict if config.apply_rope_scaling else None
+    cos, sin = rope_cos_sin(position_ids, config.head_dim, config.rope_base, h.dtype, scaling)
+
+    blocks = params["blocks"]
+    lora_blocks = None if lora is None else lora.get("blocks")
+    cache_pos = kv_cache.pos if kv_cache is not None else None
+
+    if dropout_rng is not None and lora is not None:
+        n_lin = 7
+        layer_rngs = jax.random.split(dropout_rng, config.n_layers * n_lin).reshape(
+            config.n_layers, n_lin, -1
+        )
+    else:
+        layer_rngs = None
+
+    def scan_body(h, xs):
+        layer_params, k_l, v_l, lora_l, rngs_l = xs
+        dropout_rngs = None
+        if rngs_l is not None:
+            names = ("W_query", "W_key", "W_value", "out_proj", "w_gate", "w_up", "w_down")
+            dropout_rngs = {n: rngs_l[i] for i, n in enumerate(names)}
+        out, new_k, new_v = _block_forward(
+            h, layer_params, config, cos, sin, mask, k_l, v_l, cache_pos, lora_l, dropout_rngs, impl
+        )
+        ys = (new_k, new_v) if k_l is not None else (None, None)
+        return out, ys
+
+    xs = (
+        blocks,
+        kv_cache.k if kv_cache is not None else None,
+        kv_cache.v if kv_cache is not None else None,
+        lora_blocks,
+        layer_rngs,
+    )
+
+    if kv_cache is None and lora is None:
+        h, _ = jax.lax.scan(lambda c, lp: scan_body(c, (lp, None, None, None, None)), h, blocks)
+        new_cache = None
+    else:
+        # lax.scan can't carry None leaves in xs tuples; build concrete xs.
+        def body(carry, xs_concrete):
+            idx = 0
+            lp = xs_concrete[0]
+            k_l = xs_concrete[1] if kv_cache is not None else None
+            v_l = xs_concrete[2] if kv_cache is not None else None
+            off = 3 if kv_cache is not None else 1
+            lora_l = xs_concrete[off] if lora_blocks is not None else None
+            rngs_l = xs_concrete[-1] if layer_rngs is not None else None
+            return scan_body(carry, (lp, k_l, v_l, lora_l, rngs_l))
+
+        xs_concrete = [blocks]
+        if kv_cache is not None:
+            xs_concrete += [kv_cache.k, kv_cache.v]
+        if lora_blocks is not None:
+            xs_concrete.append(lora_blocks)
+        if layer_rngs is not None:
+            xs_concrete.append(layer_rngs)
+        h, ys = jax.lax.scan(body, h, tuple(xs_concrete))
+        if kv_cache is not None:
+            new_k, new_v = ys
+            new_cache = KVCache(k=new_k, v=new_v, pos=kv_cache.pos + t)
+        else:
+            new_cache = None
+
+    h = fused_add_rmsnorm(h, params["final_norm"]["weight"], config.rms_norm_eps, impl=impl)
+    return LlamaOutput(hidden_states=h, kv_cache=new_cache)
+
+
+def lm_head_apply(params: dict, config: LLAMA32Config, hidden: jax.Array, lora=None) -> jax.Array:
+    """``Llama3ForCausalLM`` head; tied weights use the embedding transposed."""
+    w = params["lm_head"]["weight"]
+    if w is None:
+        w = params["model"]["tok_emb"]["weight"].T
+    return _linear(hidden, w, lora)
+
+
+def causal_lm_forward(
+    params: dict,
+    config: LLAMA32Config,
+    input_ids=None,
+    input_embeds=None,
+    attention_mask=None,
+    position_ids=None,
+    kv_cache=None,
+    lora=None,
+    dropout_rng=None,
+    impl: str = "auto",
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """``Llama3ForCausalLM.forward`` (Model/model.py:356-361): returns
+    ``(logits, kv_cache)``."""
+    out = llama_forward(
+        params["model"],
+        config,
+        input_ids=input_ids,
+        input_embeds=input_embeds,
+        attention_mask=attention_mask,
+        position_ids=position_ids,
+        kv_cache=kv_cache,
+        lora=None if lora is None else lora,
+        dropout_rng=dropout_rng,
+        impl=impl,
+    )
+    logits = lm_head_apply(params, config, out.hidden_states)
+    return logits, out.kv_cache

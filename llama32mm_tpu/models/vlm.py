@@ -1,0 +1,159 @@
+"""MllamaForConditionalGeneration — the top-level VLM, pure-functional.
+
+Parity target: reference ``Model/model.py:367-464``:
+
+- plain-ViT vision tower → ``MultiModalProjector`` (one biased linear,
+  ``:275-285``) → token-embedding splice → LLaMA decoder → lm_head;
+- optional shifted cross-entropy loss with ``ignore_index`` (``:431-438``);
+- ``_merge_input_ids_with_image_features`` (``:442-464``): the reference's
+  per-batch python loop becomes a fully vectorized gather/where — for each
+  sequence, the **first** run of ``<image>`` placeholder positions (clipped to
+  the sequence length) is overwritten with the projected patch features, and
+  the attention mask is set to 1 over that span.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from llama32mm_tpu.configs import MLLAMAConfig
+from llama32mm_tpu.models.language import (
+    init_causal_lm_params,
+    llama_forward,
+    lm_head_apply,
+)
+from llama32mm_tpu.models.vision import init_vision_params, vision_encoder_forward
+from llama32mm_tpu.utils.kvcache import KVCache
+
+
+class VLMOutput(NamedTuple):
+    logits: jax.Array
+    loss: Optional[jax.Array]
+    hidden_states: jax.Array
+    kv_cache: Optional[KVCache]
+
+
+def init_vlm_params(key: jax.Array, config: MLLAMAConfig, tie_weights: bool = True) -> dict:
+    kv, kp, kl = jax.random.split(key, 3)
+    dt = config.text_config.jnp_dtype
+    vdim = config.vision_config.hidden_size
+    tdim = config.text_config.hidden_size
+    bound = 1.0 / math.sqrt(vdim)
+    proj_w = jax.random.uniform(kp, (vdim, tdim), jnp.float32, -bound, bound).astype(dt)
+    kb = jax.random.fold_in(kp, 1)
+    proj_b = jax.random.uniform(kb, (tdim,), jnp.float32, -bound, bound).astype(dt)
+    return {
+        "vision_model": init_vision_params(kv, config.vision_config, dtype=dt),
+        "multi_modal_projector": {"linear": {"weight": proj_w, "bias": proj_b}},
+        "language_model": init_causal_lm_params(kl, config.text_config, tie_weights=tie_weights),
+    }
+
+
+def merge_input_ids_with_image_features(
+    image_features: jax.Array,  # [B, N, H]
+    inputs_embeds: jax.Array,  # [B, S, H]
+    input_ids: jax.Array,  # [B, S]
+    attention_mask: Optional[jax.Array],  # [B, S] or None
+    image_token_index: int,
+):
+    """Vectorized splice (reference ``:442-464``): overwrite the span
+    ``[first_image_pos, first_image_pos + N)`` (clipped to S) with the patch
+    features; mark those positions attended."""
+    b, s = input_ids.shape
+    n = image_features.shape[1]
+
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+
+    is_img = input_ids == image_token_index
+    has_img = jnp.any(is_img, axis=1)  # [B]
+    start = jnp.argmax(is_img, axis=1)  # [B] (0 when none — gated by has_img)
+
+    pos = jnp.arange(s)[None, :]  # [1, S]
+    rel = pos - start[:, None]  # [B, S] index into patch axis
+    in_span = (rel >= 0) & (rel < n) & has_img[:, None]
+
+    gathered = jnp.take_along_axis(
+        image_features, jnp.clip(rel, 0, n - 1)[:, :, None], axis=1
+    )  # [B, S, H]
+    merged = jnp.where(in_span[:, :, None], gathered.astype(inputs_embeds.dtype), inputs_embeds)
+    if attention_mask.ndim == 2:
+        merged_mask = jnp.where(in_span, jnp.ones_like(attention_mask), attention_mask)
+    else:
+        # Prebuilt 4D additive masks (cache-aware engine) pass through.
+        merged_mask = attention_mask
+    return merged, merged_mask
+
+
+def encode_image(params: dict, config: MLLAMAConfig, pixel_values: jax.Array) -> jax.Array:
+    """Vision tower + projector: ``[B, C, H, W] → [B, N, text_hidden]``."""
+    feats = vision_encoder_forward(params["vision_model"], config.vision_config, pixel_values)
+    proj = params["multi_modal_projector"]["linear"]
+    return jnp.matmul(feats, proj["weight"]) + proj["bias"]
+
+
+def vlm_forward(
+    params: dict,
+    config: MLLAMAConfig,
+    input_ids: Optional[jax.Array] = None,
+    pixel_values: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    kv_cache: Optional[KVCache] = None,
+    lora: Optional[dict] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> VLMOutput:
+    """Reference ``MllamaForConditionalGeneration.forward`` (``:398-440``)."""
+    tc = config.text_config
+
+    inputs_embeds = None
+    if input_ids is not None:
+        ids = jnp.clip(input_ids, 0, tc.vocab_size - 1)
+        inputs_embeds = params["language_model"]["model"]["tok_emb"]["weight"][ids]
+
+    if pixel_values is not None and inputs_embeds is not None:
+        image_features = encode_image(params, config, pixel_values)
+        inputs_embeds, attention_mask = merge_input_ids_with_image_features(
+            image_features, inputs_embeds, input_ids, attention_mask, config.image_token_index
+        )
+
+    out = llama_forward(
+        params["language_model"]["model"],
+        tc,
+        input_embeds=inputs_embeds,
+        attention_mask=attention_mask,
+        position_ids=position_ids,
+        kv_cache=kv_cache,
+        lora=lora,
+        dropout_rng=dropout_rng,
+        impl=impl,
+    )
+    logits = lm_head_apply(params["language_model"], tc, out.hidden_states)
+
+    loss = None
+    if labels is not None:
+        loss = shifted_cross_entropy(logits, labels, config.ignore_index)
+
+    return VLMOutput(
+        logits=logits, loss=loss, hidden_states=out.hidden_states, kv_cache=out.kv_cache
+    )
+
+
+def shifted_cross_entropy(logits: jax.Array, labels: jax.Array, ignore_index: int) -> jax.Array:
+    """Shifted next-token CE with ignore_index (reference ``:431-438``,
+    matching ``nn.CrossEntropyLoss`` mean-over-valid reduction)."""
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / count

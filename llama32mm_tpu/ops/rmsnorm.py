@@ -1,0 +1,63 @@
+"""Fused Add-RMSNorm.
+
+TPU-native replacement for the reference CUDA kernel
+(``Tools/rmsnorm/rmsnorm.cuh:13-108`` forward, ``:110-154`` backward) and its
+PyTorch fallback (``Model/model.py:158-171``).
+
+Semantics:
+
+- **xla fallback** (parity path): matches the reference CPU fallback exactly —
+  optional ``x = x + residual``, variance computed **in the input dtype** (no
+  fp32 upcast; ``Model/model.py:169-171``), ``x * rsqrt(var + eps) * weight``.
+- **pallas path**: one VMEM pass computing the residual add, an fp32
+  sum-of-squares reduction (matching the CUDA kernel's fp32 accumulators,
+  ``rmsnorm.cuh:36,60``), and the scaled write-out; a ``jax.custom_vjp``
+  mirrors ``rmsnorm_backward_kernel`` with the (x, residual) gradients treated
+  symmetrically (SURVEY §2.9 #13) and without the CUDA backward's extra
+  ``+1e-6`` fudge (SURVEY §2.9 #16 — we implement the exact gradient).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from llama32mm_tpu.ops.dispatch import resolve_impl
+
+
+def _rmsnorm_xla(x, weight, eps, residual):
+    if residual is not None:
+        x = x + residual
+    variance = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(variance + jnp.asarray(eps, x.dtype))
+    return x * weight
+
+
+def fused_add_rmsnorm(
+    x: jax.Array,
+    weight: jax.Array,
+    eps: float = 1e-6,
+    residual: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """RMS-normalize ``x`` (optionally first adding ``residual``) and scale.
+
+    Args:
+      x: ``[..., C]`` activations.
+      weight: ``[C]`` scale.
+      eps: variance epsilon.
+      residual: optional ``[..., C]`` added to ``x`` before normalization
+        (the reference's fused "residual highway", ``Model/model.py:271``).
+      impl: ``auto`` | ``pallas`` | ``xla``.
+    """
+    impl = resolve_impl(impl)
+    if impl == "xla":
+        return _rmsnorm_xla(x, weight, eps, residual)
+    from llama32mm_tpu.ops.pallas.rmsnorm import fused_add_rmsnorm_pallas
+
+    if residual is None:
+        residual = jnp.zeros_like(x)  # mirrors RMSNormFunction (Model/model.py:141)
+    return fused_add_rmsnorm_pallas(x, weight, residual, eps)

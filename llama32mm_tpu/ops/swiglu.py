@@ -1,0 +1,95 @@
+"""Fused SwiGLU (gate/up projection + SiLU + elementwise product).
+
+TPU-native replacement for the reference CUDA kernels
+(``Tools/swiglu/swiglu.cu:58-100`` forward, ``:179-223`` backward,
+``:229-272`` forward_down) and the PyTorch fallback
+(``Tools/swiglu/FusedSwiglu.py:17-20``).
+
+Weight layout: this framework stores linear weights as ``[in, out]`` (so the
+matmul is ``x @ w``); the reference/PyTorch layout is ``[out, in]``. The
+checkpoint loader transposes on load.
+
+- **xla fallback** (parity path): ``silu(x @ w_gate + b_gate) * (x @ w_up +
+  b_up)`` — exactly the reference fallback math.
+- **pallas path**: one kernel computes both projections on the MXU with fp32
+  accumulation and applies ``silu(gate) * up`` on the VPU before the
+  intermediate ever leaves VMEM; a ``jax.custom_vjp`` mirrors
+  ``swiglu_backward_kernel`` (grad_gate = silu'(gate)·(g·up),
+  grad_up = g·silu(gate)), completing the backward the reference *binds but
+  never defines* (SURVEY §2.9 #11).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from llama32mm_tpu.ops.dispatch import resolve_impl
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _swiglu_xla(x, w_gate, w_up, b_gate, b_up):
+    gate = jnp.matmul(x, w_gate)
+    up = jnp.matmul(x, w_up)
+    if b_gate is not None:
+        gate = gate + b_gate
+    if b_up is not None:
+        up = up + b_up
+    return _silu(gate) * up
+
+
+def fused_swiglu(
+    x: jax.Array,
+    w_gate: jax.Array,
+    w_up: jax.Array,
+    b_gate: Optional[jax.Array] = None,
+    b_up: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """``silu(x @ w_gate + b_gate) * (x @ w_up + b_up)``.
+
+    Args:
+      x: ``[..., H]``.
+      w_gate, w_up: ``[H, I]``.
+      b_gate, b_up: optional ``[I]``.
+    Returns: ``[..., I]``.
+    """
+    impl = resolve_impl(impl)
+    if impl == "xla":
+        return _swiglu_xla(x, w_gate, w_up, b_gate, b_up)
+    from llama32mm_tpu.ops.pallas.swiglu import fused_swiglu_pallas
+
+    return fused_swiglu_pallas(x, w_gate, w_up, b_gate, b_up)
+
+
+def swiglu_down(
+    x: jax.Array,
+    w_gate: jax.Array,
+    w_up: jax.Array,
+    w_down: jax.Array,
+    b_gate: Optional[jax.Array] = None,
+    b_up: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Full fused FFN: ``(silu(x@w_gate)·(x@w_up)) @ w_down``.
+
+    Inference-only mega-fusion, the TPU equivalent of the reference's
+    ``forward_down`` API (``Tools/swiglu/swiglu.cu:229-272,319-364``) — but
+    tiled over the intermediate dimension so the intermediate activations never
+    round-trip HBM (unlike the reference's O(hidden·inter)-work-per-thread
+    kernel).
+
+    Args:
+      x: ``[..., H]``; w_gate/w_up: ``[H, I]``; w_down: ``[I, H]``.
+    """
+    impl = resolve_impl(impl)
+    if impl == "xla":
+        return jnp.matmul(_swiglu_xla(x, w_gate, w_up, b_gate, b_up), w_down)
+    from llama32mm_tpu.ops.pallas.swiglu import swiglu_down_pallas
+
+    return swiglu_down_pallas(x, w_gate, w_up, w_down, b_gate, b_up)
