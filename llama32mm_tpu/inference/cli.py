@@ -1,0 +1,139 @@
+"""Inference CLI.
+
+Parity target: reference ``Inference/Inference.py`` — same flags
+(``--image --prompt --model-id --hf-weights --max-new-tokens --temperature
+--top-p --top-k --cpu --dtype``, ``:13-67``), same dual dispatch: the custom
+TPU-native path when ``--hf-weights`` is given (``run_custom_inference``,
+``:109-177``), else the HF transformers baseline (``run_hf_inference``,
+``:180-215``).
+
+Usage: ``python -m llama32mm_tpu.inference.cli --image cat.png --prompt "..."
+--hf-weights /path/to/checkpoint``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+DEFAULT_MODEL_ID = "meta-llama/Llama-3.2-11B-Vision-Instruct"
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Inference for LLaMA-3.2 Vision VLM (TPU-native).")
+    parser.add_argument("--image", required=True, help="Path to the input image.")
+    parser.add_argument("--prompt", required=True, help="Text prompt or question.")
+    parser.add_argument("--model-id", default=DEFAULT_MODEL_ID,
+                        help="HuggingFace model repo ID (used when --hf-weights is not set).")
+    parser.add_argument("--hf-weights", default=None,
+                        help="Local HF checkpoint dir; when set, uses the TPU-native architecture.")
+    parser.add_argument("--max-new-tokens", type=int, default=256)
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="0.0 = greedy decoding (default).")
+    parser.add_argument("--top-p", type=float, default=0.9)
+    parser.add_argument("--top-k", type=int, default=50)
+    parser.add_argument("--cpu", action="store_true", help="Force CPU (JAX platform cpu).")
+    parser.add_argument("--dtype", choices=["auto", "float16", "bfloat16", "float32"],
+                        default="auto")
+    parser.add_argument("--seed", type=int, default=0, help="Sampling PRNG seed.")
+    return parser.parse_args(argv)
+
+
+def load_image(path: str):
+    from PIL import Image
+
+    p = Path(path)
+    if not p.exists():
+        sys.exit(f"Image not found: {p}")
+    return Image.open(p).convert("RGB")
+
+
+def run_custom_inference(args: argparse.Namespace) -> str:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from llama32mm_tpu.inference.engine import InferenceEngine
+    from llama32mm_tpu.io.checkpoint import load_hf_model
+    from llama32mm_tpu.preprocess.processor import MllamaImageProcessor
+
+    dtype = args.dtype if args.dtype != "auto" else (
+        "float32" if jax.default_backend() == "cpu" else "bfloat16"
+    )
+    if not Path(args.hf_weights).is_dir():
+        sys.exit(
+            f"--hf-weights directory not found: {args.hf_weights}\n"
+            "Download a checkpoint first: python -m llama32mm_tpu.io.download "
+            f"--output-dir {args.hf_weights}"
+        )
+    print(f"Loading model from: {args.hf_weights}")
+    model, tokenizer = load_hf_model(args.hf_weights, dtype=dtype)
+
+    num_image_tokens = model.config.text_config.num_image_tokens
+    image_size = model.config.vision_config.image_size
+    processor = MllamaImageProcessor(tokenizer, num_image_tokens, image_size)
+
+    image = load_image(args.image)
+    inputs = processor([args.prompt], [image], padding=True)
+
+    prompt_len = inputs["input_ids"].shape[1]
+    cache_len = prompt_len + args.max_new_tokens
+    engine = InferenceEngine(model.params, model.config, max_cache_length=cache_len)
+
+    result = engine.generate(
+        inputs["input_ids"],
+        pixel_values=inputs["pixel_values"],
+        attention_mask=inputs["attention_mask"],
+        max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        top_p=args.top_p,
+        top_k=args.top_k,
+        eos_token_id=tokenizer.eos_token_id if tokenizer.eos_token_id is not None else -1,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    return engine.decode_tokens(tokenizer, result)
+
+
+def run_hf_inference(args: argparse.Namespace) -> str:
+    """HF transformers baseline path (reference Inference.py:180-215)."""
+    import torch
+    from transformers import AutoProcessor, MllamaForConditionalGeneration
+
+    torch_dtype = {
+        "float16": torch.float16,
+        "bfloat16": torch.bfloat16,
+        "float32": torch.float32,
+    }.get(args.dtype, "auto")
+
+    print(f"Loading HF model: {args.model_id}")
+    model = MllamaForConditionalGeneration.from_pretrained(
+        args.model_id, torch_dtype=torch_dtype, device_map="cpu"
+    )
+    processor = AutoProcessor.from_pretrained(args.model_id)
+
+    image = load_image(args.image)
+    messages = [
+        {"role": "user", "content": [{"type": "image"}, {"type": "text", "text": args.prompt}]}
+    ]
+    prompt = processor.apply_chat_template(messages, add_generation_prompt=True)
+    model_inputs = processor(image, prompt, add_special_tokens=False, return_tensors="pt")
+
+    gen_kwargs = {"max_new_tokens": args.max_new_tokens, "do_sample": args.temperature > 0}
+    if args.temperature > 0:
+        gen_kwargs.update(temperature=args.temperature, top_p=args.top_p, top_k=args.top_k)
+
+    output = model.generate(**model_inputs, **gen_kwargs)
+    continuation = output[:, model_inputs["input_ids"].shape[-1]:]
+    return processor.decode(continuation[0], skip_special_tokens=True).strip()
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    result = run_custom_inference(args) if args.hf_weights else run_hf_inference(args)
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""jit-compiled inference engine: fused prefill + ``lax.while_loop`` decode.
+
+TPU-native replacement for the reference's python decode loop
+(``Inference/Inference.py:109-177``): instead of per-step tensor concats and a
+host round-trip per token, the whole generate call — image encode, splice,
+prefill, sampling, and the KV-cached decode loop — is one compiled XLA
+program over a preallocated cache. Mask/position bookkeeping is index
+arithmetic on static shapes (SURVEY §3.2).
+
+Fixed to intent:
+- decode positions = cache fill level (reference feeds RoPE position 0 for
+  every decoded token — SURVEY §2.9 #9);
+- decode attends cached positions but keeps prompt padding blocked (the
+  reference's growing-mask path crashes at step 2 and its working path
+  attends padding — SURVEY §2.9 #8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama32mm_tpu.configs import MLLAMAConfig
+from llama32mm_tpu.models.vlm import vlm_forward
+from llama32mm_tpu.utils.kvcache import init_kv_cache
+from llama32mm_tpu.utils.sampling import select_next_token
+
+
+def build_prefill_mask(padding_mask: jax.Array, max_len: int, dtype=jnp.float32) -> jax.Array:
+    """[B, S] padding mask → [B, 1, S, max_len] additive mask: causal over the
+    first S key slots, padding blocked, cache tail (k >= S) blocked."""
+    b, s = padding_mask.shape
+    neg = jnp.finfo(dtype).min
+    q = jnp.arange(s)[:, None]
+    k = jnp.arange(max_len)[None, :]
+    causal_ok = k <= q  # [S, max_len]
+    in_prompt = k < s
+    key_pad_ok = jnp.pad(padding_mask.astype(bool), ((0, 0), (0, max_len - s)))
+    ok = causal_ok[None] & in_prompt[None] & key_pad_ok[:, None, :]
+    return jnp.where(ok[:, None], jnp.asarray(0.0, dtype), neg)
+
+
+def build_decode_mask(
+    padding_mask: jax.Array, cur_len: jax.Array, max_len: int, dtype=jnp.float32
+) -> jax.Array:
+    """[B, S] prompt padding mask + current total length → [B, 1, 1, max_len]
+    additive mask: prompt padding stays blocked, generated slots < cur_len
+    attendable, tail blocked."""
+    b, s = padding_mask.shape
+    neg = jnp.finfo(dtype).min
+    k = jnp.arange(max_len)[None, :]
+    key_pad_ok = jnp.pad(padding_mask.astype(bool), ((0, 0), (0, max_len - s)))
+    ok = (k < cur_len) & jnp.where(k < s, key_pad_ok, True)
+    return jnp.where(ok[:, None, None, :], jnp.asarray(0.0, dtype), neg)
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array  # [B, max_new_tokens] generated ids (eos-padded)
+    num_generated: jax.Array  # [B] count of valid tokens (incl. eos)
+    prefill_logits: jax.Array  # [B, V] last-position prefill logits
+
+
+class InferenceEngine:
+    """Compiled prefill+decode for a fixed (batch, prompt-capacity, cache) shape.
+
+    One ``generate`` XLA program per (max_new_tokens, sampler setting); prompt
+    padding keeps the prompt-length axis static.
+    """
+
+    def __init__(
+        self,
+        params,
+        config: MLLAMAConfig,
+        max_cache_length: Optional[int] = None,
+        impl: str = "auto",
+        donate_cache: bool = True,
+    ):
+        self.params = params
+        self.config = config
+        self.max_cache_length = max_cache_length or config.text_config.max_cache_length
+        self.impl = impl
+        self._generate_jit = {}
+
+    def _make_generate(self, max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image):
+        cfg = self.config
+        tc = cfg.text_config
+        max_len = self.max_cache_length
+        impl = self.impl
+
+        def generate_fn(params, input_ids, pixel_values, padding_mask, rng):
+            b, s = input_ids.shape
+            adtype = tc.jnp_dtype
+            cache = init_kv_cache(tc, b, max_length=max_len, dtype=adtype)
+
+            prefill_mask = build_prefill_mask(padding_mask, max_len, adtype)
+            out = vlm_forward(
+                params,
+                cfg,
+                input_ids=input_ids,
+                pixel_values=pixel_values if use_image else None,
+                attention_mask=prefill_mask,
+                kv_cache=cache,
+                impl=impl,
+            )
+            # last *valid* position per batch row (right padding)
+            last_pos = jnp.sum(padding_mask, axis=1).astype(jnp.int32) - 1
+            pre_logits = jnp.take_along_axis(
+                out.logits, last_pos[:, None, None], axis=1
+            )[:, 0]  # [B, V]
+
+            rng, step_rng = jax.random.split(rng)
+            first = select_next_token(pre_logits, step_rng, temperature, top_p, top_k)
+
+            tokens0 = jnp.zeros((b, max_new_tokens), dtype=jnp.int32)
+            tokens0 = tokens0.at[:, 0].set(first.astype(jnp.int32))
+            done0 = first == eos_token_id
+            count0 = jnp.ones((b,), jnp.int32)
+
+            def cond(state):
+                i, tokens, done, count, cache, last, rng = state
+                return (i < max_new_tokens) & (~jnp.all(done))
+
+            def body(state):
+                i, tokens, done, count, cache, last, rng = state
+                # cache holds s + (i-1) tokens; the fed token lands at slot
+                # s+i-1, so after the write k < s+i slots are attendable and
+                # the fed token's RoPE position is s+i-1.
+                cur_total = s + i
+                mask = build_decode_mask(padding_mask, cur_total, max_len, adtype)
+                pos = jnp.full((b, 1), cur_total - 1, dtype=jnp.int32)
+                step_out = vlm_forward(
+                    params,
+                    cfg,
+                    input_ids=last[:, None].astype(jnp.int32),
+                    attention_mask=mask,
+                    position_ids=pos,
+                    kv_cache=cache,
+                    impl=impl,
+                )
+                rng, step_rng = jax.random.split(rng)
+                nxt = select_next_token(
+                    step_out.logits[:, -1], step_rng, temperature, top_p, top_k
+                ).astype(jnp.int32)
+                nxt = jnp.where(done, jnp.asarray(eos_token_id, jnp.int32), nxt)
+                tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
+                new_done = done | (nxt == eos_token_id)
+                count = count + (~done).astype(jnp.int32)
+                return (i + 1, tokens, new_done, count, step_out.kv_cache, nxt, rng)
+
+            state = (jnp.asarray(1, jnp.int32), tokens0, done0, count0, out.kv_cache, first, rng)
+            _, tokens, done, count, _, _, _ = jax.lax.while_loop(cond, body, state)
+            return GenerateResult(tokens=tokens, num_generated=count, prefill_logits=pre_logits)
+
+        return jax.jit(generate_fn)
+
+    def generate(
+        self,
+        input_ids,
+        pixel_values=None,
+        attention_mask=None,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        top_k: int = 50,
+        eos_token_id: int = -1,
+        rng: Optional[jax.Array] = None,
+    ) -> GenerateResult:
+        input_ids = jnp.asarray(input_ids)
+        b, s = input_ids.shape
+        if s + max_new_tokens > self.max_cache_length:
+            raise ValueError(
+                f"prompt ({s}) + max_new_tokens ({max_new_tokens}) exceeds KV cache "
+                f"capacity {self.max_cache_length}"
+            )
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), dtype=jnp.int32)
+        else:
+            attention_mask = jnp.asarray(attention_mask)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        use_image = pixel_values is not None
+        key = (max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image)
+        if key not in self._generate_jit:
+            self._generate_jit[key] = self._make_generate(*key)
+        px = (
+            jnp.asarray(pixel_values, dtype=self.config.text_config.jnp_dtype)
+            if use_image
+            else jnp.zeros((b, 3, 1, 1), self.config.text_config.jnp_dtype)
+        )
+        return self._generate_jit[key](self.params, input_ids, px, attention_mask, rng)
+
+    def decode_tokens(self, tokenizer, result: GenerateResult, batch_idx: int = 0) -> str:
+        toks = np.asarray(result.tokens[batch_idx])[: int(result.num_generated[batch_idx])]
+        return tokenizer.decode([int(t) for t in toks], skip_special_tokens=True).strip()

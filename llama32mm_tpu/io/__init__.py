@@ -1,0 +1,13 @@
+from llama32mm_tpu.io.checkpoint import (
+    build_config_from_hf,
+    load_checkpoint_params,
+    load_hf_model,
+    translate_hf_key,
+)
+
+__all__ = [
+    "build_config_from_hf",
+    "load_checkpoint_params",
+    "load_hf_model",
+    "translate_hf_key",
+]

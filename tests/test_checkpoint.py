@@ -1,0 +1,161 @@
+"""Checkpoint loader tests: key translation + a synthetic HF-style safetensors
+round-trip whose loaded params must reproduce the reference oracle's logits."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from llama32mm_tpu.io.checkpoint import (
+    build_config_from_hf,
+    load_checkpoint_params,
+    translate_hf_key,
+)
+
+
+def test_translate_text_keys():
+    path, idx, kind = translate_hf_key("language_model.model.layers.3.self_attn.q_proj.weight")
+    assert path == ("language_model", "model", "blocks", "att", "W_query", "weight")
+    assert idx == 3 and kind == "t"
+    path, idx, kind = translate_hf_key("language_model.model.embed_tokens.weight")
+    assert path == ("language_model", "model", "tok_emb", "weight") and idx is None
+
+    assert translate_hf_key("language_model.model.layers.0.mlp.gate_proj.weight")[0][-1] == "w_gate"
+    assert translate_hf_key("language_model.model.norm.weight")[0][-2:] == ("final_norm", "weight")
+
+
+def test_translate_drops_unsupported():
+    # reference unsupported subsystems (Model/utils.py:111-119)
+    assert translate_hf_key("vision_model.global_transformer.layers.0.mlp.fc1.weight") is None
+    assert translate_hf_key("vision_model.vision_model.tile_positional_embedding.weight") is None
+    assert translate_hf_key("vision_model.vision_model.gated_positional_embedding.embedding") is None
+    assert translate_hf_key("language_model.model.layers.3.cross_attn.q_proj.weight") is None
+    assert translate_hf_key("language_model.model.rotary_emb.inv_freq") is None
+
+
+def test_translate_vision_keys():
+    path, idx, kind = translate_hf_key(
+        "vision_model.vision_model.encoder.layers.7.self_attn.out_proj.bias"
+    )
+    assert path == ("vision_model", "layers", "self_attn", "out_proj", "bias")
+    assert idx == 7 and kind == "raw"
+    path, _, kind = translate_hf_key("vision_model.vision_model.patch_embedding.weight")
+    assert kind == "conv"
+
+
+def test_build_config_from_hf():
+    cfg = build_config_from_hf(
+        {
+            "text_config": {
+                "vocab_size": 128256, "hidden_size": 4096, "num_attention_heads": 32,
+                "num_hidden_layers": 40, "intermediate_size": 14336,
+                "num_key_value_heads": 8, "rope_theta": 500000.0,
+                "max_position_embeddings": 131072,
+            },
+            "vision_config": {
+                "hidden_size": 1280, "intermediate_size": 5120, "num_hidden_layers": 32,
+                "num_attention_heads": 16, "image_size": 560, "patch_size": 14,
+            },
+            "image_token_index": 128256,
+        },
+        pad_token_id=0,
+    )
+    assert cfg.text_config.n_kv_groups == 8
+    assert cfg.text_config.num_image_tokens == 1600
+    assert cfg.vision_config.num_patches == 1600
+
+
+# ---------------------------------------------------------------------------
+# Synthetic round-trip against the reference oracle
+# ---------------------------------------------------------------------------
+
+from reference_oracle import build_reference_tiny, import_reference, reference_available
+
+LOCAL_TO_HF = [
+    # (reference local state-dict prefix → HF checkpoint naming)
+    ("language_model.model.tok_emb", "language_model.model.embed_tokens"),
+    ("language_model.model.trf_blocks", "language_model.model.layers"),
+    ("att.W_query", "self_attn.q_proj"),
+    ("att.W_key", "self_attn.k_proj"),
+    ("att.W_value", "self_attn.v_proj"),
+    ("att.out_proj", "self_attn.o_proj"),
+    ("norm1.weight", "input_layernorm.weight"),
+    ("norm2.weight", "post_attention_layernorm.weight"),
+    ("ff.swiglu.w_gate", "mlp.gate_proj.weight"),
+    ("ff.swiglu.w_up", "mlp.up_proj.weight"),
+    ("ff.w_down", "mlp.down_proj"),
+    ("language_model.model.final_norm", "language_model.model.norm"),
+    ("vision_model.embeddings.patch_embedding", "vision_model.vision_model.patch_embedding"),
+    ("vision_model.embeddings.position_embedding", "vision_model.vision_model.position_embedding"),
+    ("vision_model.encoder.layers", "vision_model.vision_model.encoder.layers"),
+    ("layernorm1", "layer_norm1"),
+    ("layernorm2", "layer_norm2"),
+    ("vision_model.post_layernorm", "vision_model.vision_model.post_layernorm"),
+    ("multi_modal_projector.linear", "multi_modal_projector.linear_1"),
+]
+
+
+def _local_key_to_hf(key: str) -> str:
+    for src, dst in LOCAL_TO_HF:
+        key = key.replace(src, dst)
+    return key
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_checkpoint_roundtrip_logits_parity(tmp_path):
+    torch = pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+
+    ref_model_mod = import_reference()
+    torch.manual_seed(0)
+    ref_cfg, ref_m = build_reference_tiny(ref_model_mod, torch)
+
+    # Write the oracle's weights as an HF-style safetensors checkpoint.
+    tensors = {}
+    for k, v in ref_m.state_dict().items():
+        hf_key = _local_key_to_hf(k)
+        tensors[hf_key] = v.detach().cpu().numpy()
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    hf_config = {
+        "text_config": {
+            "vocab_size": 256, "hidden_size": 64, "num_attention_heads": 4,
+            "num_hidden_layers": 2, "intermediate_size": 128, "num_key_value_heads": 2,
+            "rope_theta": 500000.0, "max_position_embeddings": 2048,
+        },
+        "vision_config": {
+            "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "image_size": 28, "patch_size": 14,
+            "projection_dim": 64,
+        },
+        "image_token_index": 250,
+        "vocab_size": 256,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_config))
+
+    import jax.numpy as jnp
+
+    from llama32mm_tpu.models.vlm import vlm_forward
+
+    config = build_config_from_hf(hf_config, pad_token_id=None, dtype="float32")
+    params = load_checkpoint_params(str(tmp_path), config, verbose=False)
+
+    g = torch.Generator().manual_seed(11)
+    ids = torch.randint(0, 240, (1, 10), generator=g)
+    ids[:, :3] = 250
+    px = torch.randn(1, 3, 28, 28, generator=g)
+    mask = torch.ones(1, 10, dtype=torch.long)
+    with torch.no_grad():
+        ref_out = ref_m(input_ids=ids, pixel_values=px, attention_mask=mask)
+
+    out = vlm_forward(
+        params,
+        config,
+        input_ids=jnp.asarray(ids.numpy()),
+        pixel_values=jnp.asarray(px.numpy()),
+        attention_mask=jnp.asarray(mask.numpy()),
+        impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits), ref_out["logits"].numpy(), atol=2e-4, rtol=2e-4
+    )

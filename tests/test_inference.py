@@ -1,0 +1,178 @@
+"""Inference engine, sampler, and processor tests (no reference repo needed
+except the sampler-parity test, which skips when absent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama32mm_tpu import init_kv_cache, init_vlm_params, tiny_mllama_config
+from llama32mm_tpu.inference.engine import (
+    InferenceEngine,
+    build_decode_mask,
+    build_prefill_mask,
+)
+from llama32mm_tpu.models.vlm import vlm_forward
+from llama32mm_tpu.utils.sampling import filter_logits, select_next_token
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# Masks
+# ---------------------------------------------------------------------------
+
+
+def test_prefill_mask_blocks_future_padding_and_tail():
+    pad = jnp.array([[1, 1, 1, 0]], dtype=jnp.int32)
+    m = np.asarray(build_prefill_mask(pad, 8))
+    assert m.shape == (1, 1, 4, 8)
+    neg = np.finfo(np.float32).min
+    assert m[0, 0, 0, 0] == 0 and m[0, 0, 0, 1] == neg  # causal
+    assert m[0, 0, 2, 2] == 0
+    assert np.all(m[0, 0, :, 3] == neg)  # padded key blocked
+    assert np.all(m[0, 0, :, 4:] == neg)  # cache tail blocked
+
+
+def test_decode_mask_respects_prompt_padding():
+    pad = jnp.array([[1, 0, 1]], dtype=jnp.int32)
+    m = np.asarray(build_decode_mask(pad, jnp.asarray(5), 8))
+    neg = np.finfo(np.float32).min
+    assert m.shape == (1, 1, 1, 8)
+    assert m[0, 0, 0, 0] == 0
+    assert m[0, 0, 0, 1] == neg  # padded prompt slot stays blocked
+    assert m[0, 0, 0, 2] == 0
+    assert m[0, 0, 0, 3] == 0 and m[0, 0, 0, 4] == 0  # generated slots
+    assert np.all(m[0, 0, 0, 5:] == neg)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+def test_engine_greedy_matches_manual_loop(tiny):
+    cfg, params = tiny
+    B, S, MAXLEN, NEW = 1, 12, 64, 8
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :4].set(cfg.image_token_index)
+    px = jax.random.normal(jax.random.PRNGKey(2), (B, 3, 28, 28))
+
+    eng = InferenceEngine(params, cfg, max_cache_length=MAXLEN)
+    res = eng.generate(ids, px, max_new_tokens=NEW, eos_token_id=-1)
+
+    # manual stepwise loop
+    cache = init_kv_cache(cfg.text_config, B, max_length=MAXLEN, dtype=jnp.float32)
+    pre_mask = build_prefill_mask(jnp.ones((B, S), jnp.int32), MAXLEN)
+    out = vlm_forward(params, cfg, input_ids=ids, pixel_values=px,
+                      attention_mask=pre_mask, kv_cache=cache, impl="xla")
+    tok = int(jnp.argmax(out.logits[0, -1]))
+    manual = [tok]
+    cache = out.kv_cache
+    for i in range(1, NEW):
+        cur = S + i
+        m = build_decode_mask(jnp.ones((B, S), jnp.int32), jnp.asarray(cur), MAXLEN)
+        out = vlm_forward(params, cfg, input_ids=jnp.asarray([[tok]]),
+                          attention_mask=m, position_ids=jnp.asarray([[cur - 1]]),
+                          kv_cache=cache, impl="xla")
+        cache = out.kv_cache
+        tok = int(jnp.argmax(out.logits[0, -1]))
+        manual.append(tok)
+
+    np.testing.assert_array_equal(np.asarray(res.tokens)[0], np.asarray(manual))
+
+
+def test_engine_eos_early_stop(tiny):
+    cfg, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size - 10)
+    eng = InferenceEngine(params, cfg, max_cache_length=32)
+    base = eng.generate(ids, max_new_tokens=8, eos_token_id=-1)
+    toks = np.asarray(base.tokens)[0]
+    eos = int(toks[2])
+    expected_n = int(np.where(toks == eos)[0][0]) + 1  # first occurrence stops the loop
+    res = eng.generate(ids, max_new_tokens=8, eos_token_id=eos)
+    assert int(res.num_generated[0]) == expected_n
+    np.testing.assert_array_equal(
+        np.asarray(res.tokens)[0, :expected_n], toks[:expected_n]
+    )
+
+
+def test_engine_capacity_check(tiny):
+    cfg, params = tiny
+    eng = InferenceEngine(params, cfg, max_cache_length=16)
+    ids = jnp.zeros((1, 10), jnp.int32)
+    with pytest.raises(ValueError, match="exceeds KV cache"):
+        eng.generate(ids, max_new_tokens=10)
+
+
+def test_engine_padded_batch_matches_unpadded(tiny):
+    """Right padding must not change the generated tokens."""
+    cfg, params = tiny
+    S = 8
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, S), 0, cfg.vocab_size - 10)
+    eng = InferenceEngine(params, cfg, max_cache_length=32)
+    res_a = eng.generate(ids, max_new_tokens=6, eos_token_id=-1)
+
+    pad_id = 0
+    padded = jnp.concatenate([ids, jnp.full((1, 3), pad_id, ids.dtype)], axis=1)
+    mask = jnp.concatenate([jnp.ones((1, S), jnp.int32), jnp.zeros((1, 3), jnp.int32)], axis=1)
+    res_b = eng.generate(padded, attention_mask=mask, max_new_tokens=6, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(res_a.tokens), np.asarray(res_b.tokens))
+
+
+# ---------------------------------------------------------------------------
+# Sampler
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_is_argmax():
+    logits = jnp.asarray([[0.1, 2.0, -1.0, 0.5]])
+    tok = select_next_token(logits, jax.random.PRNGKey(0), temperature=0.0)
+    assert int(tok[0]) == 1
+
+
+def test_filter_logits_topk():
+    logits = jnp.asarray([1.0, 2.0, 3.0, 4.0, 5.0])
+    filt = np.asarray(filter_logits(logits, temperature=1.0, top_p=1.0, top_k=2))
+    assert np.isneginf(filt[:3]).all()
+    assert np.isfinite(filt[3:]).all()
+
+
+def test_filter_logits_top_p_exclusive_rule():
+    # probs ~ [0.643, 0.236, 0.087, 0.032, ...]; with top_p=0.7 the exclusive
+    # rule keeps tokens while cumsum-before-token <= 0.7 → keeps top-2.
+    logits = jnp.log(jnp.asarray([0.643, 0.236, 0.087, 0.022, 0.012]))
+    filt = np.asarray(filter_logits(logits, temperature=1.0, top_p=0.7, top_k=0))
+    assert np.isfinite(filt[0]) and np.isfinite(filt[1])
+    assert np.isneginf(filt[2:]).all()
+
+
+def test_filter_logits_matches_reference_rule():
+    """Cross-check the top-k+top-p mask against a direct transcription of the
+    reference's masking math (Inference.py:89-103) in numpy."""
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(64,)).astype(np.float32)
+    T, top_p, top_k = 0.8, 0.9, 10
+
+    # numpy transcription of the reference rule
+    ref = logits / T
+    kth = np.sort(ref)[-top_k]
+    ref = np.where(ref < kth, -np.inf, ref)
+    order = np.argsort(-ref)
+    s = ref[order]
+    p = np.exp(s - np.max(s[np.isfinite(s)]))
+    p = p / p.sum()
+    cum = np.cumsum(p)
+    s[(cum - p) > top_p] = -np.inf
+    expected = np.full_like(ref, -np.inf)
+    expected[order] = s
+
+    got = np.asarray(filter_logits(jnp.asarray(logits), T, top_p, top_k))
+    finite_mask = np.isfinite(expected)
+    np.testing.assert_array_equal(np.isfinite(got), finite_mask)
+    np.testing.assert_allclose(got[finite_mask], expected[finite_mask], atol=1e-5)
