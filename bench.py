@@ -1,0 +1,152 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: single-image VLM decode tokens/sec/chip (BASELINE.md north star:
+≥90% of the HBM-bandwidth roofline; the reference publishes no numbers, so
+``vs_baseline`` reports measured/roofline).
+
+On the single available chip an 11B bf16 model does not fit in a v5e's 16 GB
+HBM, so the bench config uses Llama-3.2-3B text shapes under the full ViT-H/14
+vision tower; the roofline is computed for the same config, making the
+fraction hardware-meaningful. Also reports p50 TTFT (prefill incl. on-device
+image preprocess from raw uint8 pixels — the second north-star metric).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama32mm_tpu.configs import LLAMA32Config, MLLAMAConfig, VisionEncoderConfig
+from llama32mm_tpu.inference.engine import InferenceEngine
+from llama32mm_tpu.models.vlm import init_vlm_params
+from llama32mm_tpu.preprocess.image import preprocess_image_device
+
+MAX_NEW = 64
+PROMPT_TEXT_LEN = 32
+CACHE_LEN = 2048
+
+# HBM bandwidth per chip (GB/s) for roofline
+_HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v5p": 2765.0, "v4": 1228.0}
+
+
+def bench_config(dtype: str = "bfloat16") -> MLLAMAConfig:
+    """Llama-3.2-3B text shapes + the reference's ViT-H/14@560 vision tower."""
+    return MLLAMAConfig(
+        vision_config=VisionEncoderConfig(),  # ViT-H/14, 560px, 32 layers
+        text_config=LLAMA32Config(
+            vocab_size=128256,
+            hidden_size=3072,
+            n_heads=24,
+            n_layers=28,
+            hidden_dim=8192,
+            n_kv_groups=8,
+            dtype=dtype,
+            max_cache_length=CACHE_LEN,
+        ),
+        projection_dim=3072,
+        hidden_size=3072,
+    )
+
+
+def decode_roofline_tokens_per_sec(cfg: MLLAMAConfig, mean_ctx: int, hbm_gbps: float) -> float:
+    """Decode is HBM-bound: every step streams the decoder weights + lm_head +
+    the live KV prefix."""
+    tc = cfg.text_config
+    bytes_per_el = 2 if tc.dtype in ("bfloat16", "float16") else 4
+    per_layer = (
+        tc.hidden_size * tc.n_heads * tc.head_dim  # Wq
+        + 2 * tc.hidden_size * tc.n_kv_groups * tc.head_dim  # Wk, Wv
+        + tc.n_heads * tc.head_dim * tc.hidden_size  # Wo
+        + 3 * tc.hidden_size * tc.hidden_dim  # gate, up, down
+        + 2 * tc.hidden_size  # norms
+    )
+    weights = tc.n_layers * per_layer + tc.hidden_size * tc.vocab_size  # + lm_head
+    kv = tc.n_layers * 2 * tc.n_kv_groups * tc.head_dim * mean_ctx
+    step_bytes = (weights + kv) * bytes_per_el
+    return hbm_gbps * 1e9 / step_bytes
+
+
+def main() -> None:
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown").lower()
+    hbm_gbps = next((v for k, v in _HBM_GBPS.items() if k in kind.replace(" ", "")), 819.0)
+
+    dtype = "bfloat16" if backend == "tpu" else "float32"
+    cfg = bench_config(dtype)
+    tc = cfg.text_config
+
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    n_img = tc.num_image_tokens
+    s = n_img + PROMPT_TEXT_LEN
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, s), 0, tc.vocab_size - 10)
+    ids = ids.at[:, :n_img].set(cfg.image_token_index)
+    raw = jax.random.randint(
+        jax.random.PRNGKey(2), (1, cfg.vision_config.image_size, cfg.vision_config.image_size, 3),
+        0, 255, jnp.int32,
+    ).astype(jnp.uint8)
+
+    engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN)
+
+    @jax.jit
+    def preprocess(raw):
+        return preprocess_image_device(raw, cfg.vision_config.image_size, tc.jnp_dtype)
+
+    def run(max_new):
+        px = preprocess(raw)
+        return engine.generate(
+            ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1,
+            rng=jax.random.PRNGKey(0),
+        )
+
+    # Warmup / compile both program shapes.
+    run(1).tokens.block_until_ready()
+    run(MAX_NEW).tokens.block_until_ready()
+
+    # TTFT: preprocess + prefill + first token (max_new=1 program).
+    ttfts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run(1).tokens.block_until_ready()
+        ttfts.append(time.perf_counter() - t0)
+    ttft_p50 = float(np.percentile(ttfts, 50))
+
+    # Full generate; decode rate = (total - ttft) / (MAX_NEW - 1).
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(MAX_NEW).tokens.block_until_ready()
+        totals.append(time.perf_counter() - t0)
+    total_p50 = float(np.percentile(totals, 50))
+    decode_tps = (MAX_NEW - 1) / max(total_p50 - ttft_p50, 1e-9)
+
+    mean_ctx = s + MAX_NEW // 2
+    roofline = decode_roofline_tokens_per_sec(cfg, mean_ctx, hbm_gbps)
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_per_chip",
+                "value": round(decode_tps, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(decode_tps / roofline, 4),
+                "roofline_tokens_per_sec": round(roofline, 2),
+                "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
+                "config": "llama3.2-3B-text+ViT-H/14@560, bf16, 1 chip",
+                "backend": backend,
+                "device_kind": kind,
+                "prompt_len": s,
+                "max_new_tokens": MAX_NEW,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,29 @@ import numpy as np
 
 from llama32mm_tpu.configs import MLLAMAConfig
 from llama32mm_tpu.models.vlm import vlm_forward
+from llama32mm_tpu.ops.attention import AttnMask
 from llama32mm_tpu.utils.kvcache import init_kv_cache
 from llama32mm_tpu.utils.sampling import select_next_token
+
+
+def structured_prefill_mask(padding_mask: jax.Array, max_len: int) -> AttnMask:
+    """[B, S] padding mask → AttnMask: prompt keys valid per padding, cache
+    tail invalid, queries start at position 0."""
+    b, s = padding_mask.shape
+    kv_valid = jnp.pad(padding_mask.astype(jnp.int32), ((0, 0), (0, max_len - s)))
+    return AttnMask(kv_valid=kv_valid, q_offset=jnp.asarray(0, jnp.int32))
+
+
+def structured_decode_mask(
+    padding_mask: jax.Array, cur_len: jax.Array, max_len: int
+) -> AttnMask:
+    """Decode-step AttnMask: prompt padding stays blocked, generated slots
+    < cur_len valid; the single query sits at position cur_len - 1."""
+    b, s = padding_mask.shape
+    k = jnp.arange(max_len)[None, :]
+    pad_ok = jnp.pad(padding_mask.astype(bool), ((0, 0), (0, max_len - s)), constant_values=True)
+    kv_valid = ((k < cur_len) & pad_ok).astype(jnp.int32)
+    return AttnMask(kv_valid=kv_valid, q_offset=jnp.asarray(cur_len - 1, jnp.int32))
 
 
 def build_prefill_mask(padding_mask: jax.Array, max_len: int, dtype=jnp.float32) -> jax.Array:
@@ -96,7 +117,7 @@ class InferenceEngine:
             adtype = tc.jnp_dtype
             cache = init_kv_cache(tc, b, max_length=max_len, dtype=adtype)
 
-            prefill_mask = build_prefill_mask(padding_mask, max_len, adtype)
+            prefill_mask = structured_prefill_mask(padding_mask, max_len)
             out = vlm_forward(
                 params,
                 cfg,
@@ -130,7 +151,7 @@ class InferenceEngine:
                 # s+i-1, so after the write k < s+i slots are attendable and
                 # the fed token's RoPE position is s+i-1.
                 cur_total = s + i
-                mask = build_decode_mask(padding_mask, cur_total, max_len, adtype)
+                mask = structured_decode_mask(padding_mask, cur_total, max_len)
                 pos = jnp.full((b, 1), cur_total - 1, dtype=jnp.int32)
                 step_out = vlm_forward(
                     params,

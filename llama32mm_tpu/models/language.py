@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from llama32mm_tpu.configs import LLAMA32Config
-from llama32mm_tpu.ops.attention import gqa_attention
+from llama32mm_tpu.ops.attention import AttnMask, dense_from_structured, gqa_attention
+from llama32mm_tpu.ops.dispatch import resolve_impl
 from llama32mm_tpu.ops.rmsnorm import fused_add_rmsnorm
 from llama32mm_tpu.ops.rope import apply_rotary_pos_emb, rope_cos_sin
 from llama32mm_tpu.ops.swiglu import fused_swiglu
@@ -118,16 +119,18 @@ def init_causal_lm_params(key: jax.Array, config: LLAMA32Config, tie_weights: bo
 
 
 def _maybe_lora(x, base_out, lora, dropout_rng=None, dropout_rate: float = 0.0):
-    """base_out + (alpha/rank) · (dropout(x) @ A) @ B."""
+    """base_out + scaling · (dropout(x) @ A) @ B, scaling = alpha/rank
+    (reference Linear_LORA.forward, Model/model.py:120-121). ``scaling`` is an
+    array leaf so per-layer LoRA params survive lax.scan slicing."""
     if lora is None:
         return base_out
     a, b = lora["lora_a"], lora["lora_b"]
-    scaling = lora["alpha"] / lora["rank"]
+    scaling = lora["scaling"]
     xin = x
     if dropout_rng is not None and dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, x.shape)
         xin = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
-    delta = jnp.matmul(jnp.matmul(xin, a), b)
+    delta = jnp.matmul(jnp.matmul(xin, a.astype(x.dtype)), b.astype(x.dtype))
     return base_out + (scaling * delta).astype(base_out.dtype)
 
 
@@ -182,12 +185,14 @@ def _block_forward(
     cos: jax.Array,
     sin: jax.Array,
     mask: Optional[jax.Array],
+    structured: Optional[AttnMask],
     k_cache: Optional[jax.Array],
     v_cache: Optional[jax.Array],
     cache_pos: Optional[jax.Array],
     lora: Optional[dict],
     dropout_rngs: Optional[dict],
     impl: str,
+    lora_dropout: float = 0.0,
 ):
     """One TransformerBlock (reference Model/model.py:265-273)."""
     b, t, _ = h.shape
@@ -200,7 +205,7 @@ def _block_forward(
     def rng_for(name):
         return None if dropout_rngs is None else dropout_rngs.get(name)
 
-    dr = 0.0 if lora is None else lora.get("dropout", 0.0)
+    dr = lora_dropout
 
     # norm1 → attention
     normed = fused_add_rmsnorm(h, layer_params["norm1"]["weight"], config.rms_norm_eps, impl=impl)
@@ -219,10 +224,10 @@ def _block_forward(
         # Post-RoPE keys cached (parity: Model/model.py:243-246).
         k_full, v_full = update_layer_cache(k_cache, v_cache, k, v, cache_pos)
         new_k_cache, new_v_cache = k_full, v_full
-        k, v = k_full, v_full.astype(q.dtype)
-        k = k.astype(q.dtype)
+        k = k_full.astype(q.dtype)
+        v = v_full.astype(q.dtype)
 
-    attn = gqa_attention(q, k, v, mask, impl=impl)
+    attn = gqa_attention(q, k, v, mask=mask, structured=structured, impl=impl)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * hd)
     attn_out = _linear(attn, att_p["out_proj"]["weight"], lora_for("out_proj"), rng_for("out_proj"), dr)
 
@@ -264,6 +269,7 @@ def llama_forward(
     kv_cache: Optional[KVCache] = None,
     lora: Optional[dict] = None,
     dropout_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
     impl: str = "auto",
 ) -> LlamaOutput:
     """``Llama3Model.forward`` (reference Model/model.py:328-346).
@@ -287,11 +293,43 @@ def llama_forward(
     # √hidden_size embedding scale (parity, SURVEY §2.9 #1).
     h = h * jnp.asarray(math.sqrt(config.hidden_size), h.dtype)
 
-    if attention_mask is None or attention_mask.ndim != 4:
-        mask = prepare_attention_mask(attention_mask, b, t, h.dtype)
+    impl_r = resolve_impl(impl)
+    mask = None
+    structured = None
+    if isinstance(attention_mask, AttnMask):
+        structured = attention_mask
+    elif attention_mask is not None and attention_mask.ndim == 4:
+        mask = attention_mask.astype(h.dtype)  # prebuilt dense: pass through
     else:
-        mask = attention_mask.astype(h.dtype)
+        base = (
+            jnp.ones((b, t), jnp.int32)
+            if attention_mask is None
+            else attention_mask.astype(jnp.int32)
+        )
+        if kv_cache is None:
+            structured = AttnMask(kv_valid=base, q_offset=jnp.asarray(0, jnp.int32))
+        else:
+            # 2D mask covers the *current* tokens; cached slots are valid.
+            tk = kv_cache.max_length
+            pos = kv_cache.pos
+            karange = jnp.arange(tk)[None, :]
+            padded_base = jax.lax.dynamic_update_slice(
+                jnp.zeros((b, tk), jnp.int32), base, (0, pos)
+            )
+            kv_valid = ((karange < pos) | (padded_base != 0)).astype(jnp.int32)
+            kv_valid = kv_valid * (karange < pos + t)
+            structured = AttnMask(kv_valid=kv_valid, q_offset=pos)
+        if impl_r == "xla":
+            # Reference-exact dense mask (causal -inf + finfo.min padding).
+            if kv_cache is None:
+                mask = prepare_attention_mask(attention_mask, b, t, h.dtype)
+            else:
+                mask = dense_from_structured(structured, t, kv_cache.max_length, h.dtype)
 
+    if position_ids is None and kv_cache is not None:
+        # Decode positions = cache fill level (fix to intent, SURVEY §2.9 #9).
+        position_ids = kv_cache.pos + jnp.arange(t)[None, :]
+        position_ids = jnp.broadcast_to(position_ids, (b, t))
     position_ids = prepare_position_ids(position_ids, b, t)
     scaling = config.rope_freq_dict if config.apply_rope_scaling else None
     cos, sin = rope_cos_sin(position_ids, config.head_dim, config.rope_base, h.dtype, scaling)
@@ -315,7 +353,8 @@ def llama_forward(
             names = ("W_query", "W_key", "W_value", "out_proj", "w_gate", "w_up", "w_down")
             dropout_rngs = {n: rngs_l[i] for i, n in enumerate(names)}
         out, new_k, new_v = _block_forward(
-            h, layer_params, config, cos, sin, mask, k_l, v_l, cache_pos, lora_l, dropout_rngs, impl
+            h, layer_params, config, cos, sin, mask, structured, k_l, v_l, cache_pos,
+            lora_l, dropout_rngs, impl, lora_dropout,
         )
         ys = (new_k, new_v) if k_l is not None else (None, None)
         return out, ys

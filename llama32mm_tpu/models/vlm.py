@@ -81,10 +81,10 @@ def merge_input_ids_with_image_features(
         image_features, jnp.clip(rel, 0, n - 1)[:, :, None], axis=1
     )  # [B, S, H]
     merged = jnp.where(in_span[:, :, None], gathered.astype(inputs_embeds.dtype), inputs_embeds)
-    if attention_mask.ndim == 2:
+    if hasattr(attention_mask, "ndim") and attention_mask.ndim == 2:
         merged_mask = jnp.where(in_span, jnp.ones_like(attention_mask), attention_mask)
     else:
-        # Prebuilt 4D additive masks (cache-aware engine) pass through.
+        # Prebuilt masks (dense 4D or structured AttnMask) pass through.
         merged_mask = attention_mask
     return merged, merged_mask
 
@@ -107,6 +107,7 @@ def vlm_forward(
     kv_cache: Optional[KVCache] = None,
     lora: Optional[dict] = None,
     dropout_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
     impl: str = "auto",
 ) -> VLMOutput:
     """Reference ``MllamaForConditionalGeneration.forward`` (``:398-440``)."""
@@ -132,6 +133,7 @@ def vlm_forward(
         kv_cache=kv_cache,
         lora=lora,
         dropout_rng=dropout_rng,
+        lora_dropout=lora_dropout,
         impl=impl,
     )
     logits = lm_head_apply(params["language_model"], tc, out.hidden_states)

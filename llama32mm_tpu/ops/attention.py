@@ -11,14 +11,19 @@ Parity target: ``GroupQueryAttention.forward`` core math
   SURVEY §2.9 #3). This deviates from standard scaled-dot-product attention and
   must be preserved for logits parity.
 
-The xla fallback materializes the [Tq, Tk] score matrix (like the reference);
-the pallas path is a blockwise flash-style kernel with online softmax that
-preserves the same mask-then-scale semantics.
+Masks come in two forms:
+
+- **dense** additive ``[B, 1, Tq, Tk]`` (reference semantics, parity path);
+- **structured**: ``AttnMask(kv_valid [B, Tk], q_offset)`` — per-key validity
+  plus the absolute position of query row 0, from which causal masking is
+  derived. The Pallas flash kernel requires the structured form (a dense mask
+  would be re-streamed per head and dominate HBM traffic); both forms produce
+  identical probabilities (blocked positions underflow to exactly 0 in fp32).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +31,36 @@ import jax.numpy as jnp
 from llama32mm_tpu.ops.dispatch import resolve_impl
 
 
+class AttnMask(NamedTuple):
+    """Structured attention mask: which key slots are valid, and the absolute
+    position of the first query row (for causal masking)."""
+
+    kv_valid: jax.Array  # [B, Tk] bool/int
+    q_offset: jax.Array  # scalar int32
+
+
+def dense_from_structured(
+    mask: AttnMask, tq: int, tk: int, dtype, causal: bool = True
+) -> jax.Array:
+    """Materialize the additive ``[B, 1, Tq, Tk]`` mask with reference
+    semantics: ``finfo.min`` on invalid keys (padding term,
+    Model/model.py:319) + ``-inf`` on acausal positions (:315-318)."""
+    add = jnp.where(
+        mask.kv_valid.astype(bool), jnp.asarray(0.0, dtype), jnp.finfo(dtype).min
+    )[:, None, None, :]
+    if causal:
+        qpos = jnp.asarray(mask.q_offset, jnp.int32) + jnp.arange(tq)[:, None]
+        kpos = jnp.arange(tk)[None, :]
+        c = jnp.where(kpos > qpos, -jnp.inf, 0.0).astype(dtype)
+        add = add + c[None, None]
+    return add
+
+
 def _gqa_attention_xla(q, k, v, mask):
     b, n_q, t_q, hd = q.shape
     n_kv = k.shape[1]
     group = n_q // n_kv
     qg = q.reshape(b, n_kv, group, t_q, hd)
-    # scores[b, kv, g, tq, tk]
     scores = jnp.einsum("bkgqd,bkTd->bkgqT", qg, k)
     if mask is not None:
         scores = scores + mask[:, :, None, :, :]
@@ -46,6 +75,8 @@ def gqa_attention(
     k: jax.Array,
     v: jax.Array,
     mask: Optional[jax.Array] = None,
+    structured: Optional[AttnMask] = None,
+    causal: bool = True,
     impl: str = "auto",
 ) -> jax.Array:
     """Grouped-query attention with mask-then-scale softmax.
@@ -53,13 +84,33 @@ def gqa_attention(
     Args:
       q: ``[B, n_heads, Tq, head_dim]`` (RoPE already applied).
       k, v: ``[B, n_kv_heads, Tk, head_dim]``.
-      mask: optional additive mask ``[B, 1, Tq, Tk]`` (0 = attend,
-        -inf / finfo.min = blocked), added to raw scores before scaling.
+      mask: optional dense additive mask ``[B, 1, Tq, Tk]``.
+      structured: optional ``AttnMask``; preferred on the Pallas path.
+        When both are given, ``mask`` wins on the XLA path and ``structured``
+        on the Pallas path (they must describe the same constraint).
     Returns: ``[B, n_heads, Tq, head_dim]``.
     """
     impl = resolve_impl(impl)
-    if impl == "xla":
-        return _gqa_attention_xla(q, k, v, mask)
-    from llama32mm_tpu.ops.pallas.attention import gqa_attention_pallas
+    tq, tk = q.shape[2], k.shape[2]
 
-    return gqa_attention_pallas(q, k, v, mask)
+    if impl == "xla" or tq == 1:
+        # Decode (Tq == 1) is a batched matvec — XLA handles it at bandwidth;
+        # flash blocking buys nothing there.
+        if mask is None and structured is not None:
+            mask = dense_from_structured(structured, tq, tk, q.dtype, causal)
+        return _gqa_attention_xla(q, k, v, mask)
+
+    if structured is None:
+        if mask is not None:
+            # Dense-only mask: no structure to exploit — XLA fallback.
+            return _gqa_attention_xla(q, k, v, mask)
+        structured = AttnMask(
+            kv_valid=jnp.ones((q.shape[0], tk), jnp.int32),
+            q_offset=jnp.asarray(0, jnp.int32),
+        )
+
+    from llama32mm_tpu.ops.pallas.attention import flash_gqa_attention
+
+    return flash_gqa_attention(
+        q, k, v, structured.kv_valid, structured.q_offset, causal=causal
+    )

@@ -1,0 +1,17 @@
+from llama32mm_tpu.parallel.mesh import create_mesh
+from llama32mm_tpu.parallel.sharding import (
+    data_sharding,
+    kv_cache_sharding,
+    lora_shardings,
+    param_shardings,
+    shard_params,
+)
+
+__all__ = [
+    "create_mesh",
+    "data_sharding",
+    "kv_cache_sharding",
+    "lora_shardings",
+    "param_shardings",
+    "shard_params",
+]

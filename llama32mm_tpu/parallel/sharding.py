@@ -1,0 +1,113 @@
+"""GSPMD sharding rules (the 90B layout — BASELINE config #5).
+
+Layout (SURVEY §2.8 / §7): tensor-parallel attention (shard the head axis of
+the QKV projections, the head-input axis of out_proj) and MLP (shard the
+intermediate axis of gate/up, the intermediate-input axis of down), vocab
+sharded on the embedding/lm_head, **vision tower replicated**, batch on
+``dp``. The KV cache shards its head axis on ``tp`` consistently with the
+attention layout, so decode never re-gathers keys. XLA inserts the
+all-reduces (out_proj / w_down products) over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llama32mm_tpu.configs import MLLAMAConfig
+from llama32mm_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def _replicate_tree(tree, mesh):
+    return jax.tree.map(lambda _: _ns(mesh), tree)
+
+
+def text_block_shardings(mesh: Mesh) -> dict:
+    """Shardings for the stacked per-layer decoder params ([L, ...] arrays;
+    the layer axis is never sharded — it is scanned)."""
+    return {
+        "norm1": {"weight": _ns(mesh, None, None)},
+        "att": {
+            "W_query": {"weight": _ns(mesh, None, None, AXIS_TP)},
+            "W_key": {"weight": _ns(mesh, None, None, AXIS_TP)},
+            "W_value": {"weight": _ns(mesh, None, None, AXIS_TP)},
+            "out_proj": {"weight": _ns(mesh, None, AXIS_TP, None)},
+        },
+        "norm2": {"weight": _ns(mesh, None, None)},
+        "ff": {
+            "swiglu": {
+                "w_gate": _ns(mesh, None, None, AXIS_TP),
+                "w_up": _ns(mesh, None, None, AXIS_TP),
+            },
+            "w_down": {"weight": _ns(mesh, None, AXIS_TP, None)},
+        },
+    }
+
+
+def param_shardings(config: MLLAMAConfig, mesh: Mesh, params_like: Optional[dict] = None) -> dict:
+    """Sharding tree matching ``init_vlm_params`` structure."""
+    lm = {
+        "tok_emb": {"weight": _ns(mesh, AXIS_TP, None)},  # vocab sharded
+        "blocks": text_block_shardings(mesh),
+        "final_norm": {"weight": _ns(mesh)},
+    }
+    head_w = _ns(mesh, None, AXIS_TP)  # [H, V] — vocab sharded
+    tree = {
+        "vision_model": None,  # filled below (replicated)
+        "multi_modal_projector": {"linear": {"weight": _ns(mesh), "bias": _ns(mesh)}},
+        "language_model": {"model": lm, "lm_head": {"weight": head_w}},
+    }
+    if params_like is not None:
+        tree["vision_model"] = _replicate_tree(params_like["vision_model"], mesh)
+        if params_like["language_model"]["lm_head"]["weight"] is None:
+            tree["language_model"]["lm_head"] = {"weight": None}
+    else:
+        # structural placeholder; callers with concrete params should pass them
+        from llama32mm_tpu.models.vision import init_vision_params
+
+        shapes = jax.eval_shape(
+            lambda k: init_vision_params(k, config.vision_config), jax.random.PRNGKey(0)
+        )
+        tree["vision_model"] = _replicate_tree(shapes, mesh)
+    return tree
+
+
+def lora_shardings(mesh: Mesh, lora_like: dict) -> dict:
+    """LoRA adapters: A replicated on the in-dim, B sharded like the base
+    weight's out axis would be — small enough that replication is also fine;
+    keep them replicated for simplicity (adapters are tiny)."""
+    return jax.tree.map(lambda _: _ns(mesh), lora_like)
+
+
+def kv_cache_sharding(mesh: Mesh):
+    """[L, B, n_kv, S, hd] — batch on dp, kv heads on tp."""
+    from llama32mm_tpu.utils.kvcache import KVCache
+
+    return KVCache(
+        k=_ns(mesh, None, AXIS_DP, AXIS_TP, None, None),
+        v=_ns(mesh, None, AXIS_DP, AXIS_TP, None, None),
+        pos=_ns(mesh),
+    )
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Batch-sharded arrays: [B, ...] on dp."""
+    return _ns(mesh, AXIS_DP, *([None] * (ndim - 1)))
+
+
+def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
+    """Place a host param tree onto the mesh with the TP layout."""
+    sh = param_shardings(config, mesh, params_like=params)
+
+    def put(p, s):
+        if p is None:
+            return None
+        return jax.device_put(p, s)
+
+    return jax.tree.map(put, params, sh, is_leaf=lambda x: x is None)

@@ -1,0 +1,19 @@
+from llama32mm_tpu.train.lora import (
+    Linear_LORA,
+    init_lora_params,
+    lora_train_step,
+    make_lora_train_step,
+    merge_lora_into_params,
+    save_lora_adapters,
+    load_lora_adapters,
+)
+
+__all__ = [
+    "Linear_LORA",
+    "init_lora_params",
+    "lora_train_step",
+    "make_lora_train_step",
+    "merge_lora_into_params",
+    "save_lora_adapters",
+    "load_lora_adapters",
+]

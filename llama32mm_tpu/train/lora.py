@@ -1,0 +1,205 @@
+"""LoRA fine-tuning.
+
+Parity targets:
+- ``Linear_LORA`` (reference ``Model/model.py:107-121``): frozen base linear +
+  trainable low-rank A/B with ``alpha/rank`` scaling and input dropout; only
+  the adapters receive gradients (``:116-118``).
+- The README's ``apply_lora`` recipe wraps every decoder linear; here
+  ``init_lora_params`` builds adapters for all seven decoder linears
+  (W_query/W_key/W_value/out_proj/w_gate/w_up/w_down) as stacked per-layer
+  arrays that ride the same ``lax.scan``.
+- Shifted-CE labels path (``Model/model.py:431-438``) is the loss.
+- Adapter-only checkpoint save (README "LoRA fine-tuning": save only
+  lora_a/lora_b tensors).
+
+The reference ships the pieces but no train loop (SURVEY §3.4); the loop here
+is new: a jit/pjit-able ``lora_train_step`` differentiating **only** the
+adapter tree, with optax Adam.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama32mm_tpu.configs import LLAMA32Config, MLLAMAConfig
+from llama32mm_tpu.models.vlm import vlm_forward
+
+DEFAULT_TARGETS = ("W_query", "W_key", "W_value", "out_proj", "w_gate", "w_up", "w_down")
+
+_TARGET_DIMS = {
+    "W_query": lambda c: (c.hidden_size, c.n_heads * c.head_dim),
+    "W_key": lambda c: (c.hidden_size, c.n_kv_groups * c.head_dim),
+    "W_value": lambda c: (c.hidden_size, c.n_kv_groups * c.head_dim),
+    "out_proj": lambda c: (c.n_heads * c.head_dim, c.hidden_size),
+    "w_gate": lambda c: (c.hidden_size, c.hidden_dim),
+    "w_up": lambda c: (c.hidden_size, c.hidden_dim),
+    "w_down": lambda c: (c.hidden_dim, c.hidden_size),
+}
+
+
+def init_lora_params(
+    key: jax.Array,
+    config: LLAMA32Config,
+    rank: int = 16,
+    alpha: float = 16.0,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    dtype=jnp.float32,
+) -> dict:
+    """Stacked per-layer LoRA adapters for the decoder linears.
+
+    A ~ kaiming-uniform (like the reference's nn.Linear default init for
+    lora_a), B = 0 (reference lora_b also defaults to kaiming — but zero-B is
+    the evident intent so fine-tuning starts at the base model; the reference
+    never zero-inits, which makes its adapted model differ from the base at
+    step 0)."""
+    L = config.n_layers
+    blocks = {}
+    for i, name in enumerate(targets):
+        n_in, n_out = _TARGET_DIMS[name](config)
+        k = jax.random.fold_in(key, i)
+        bound = 1.0 / math.sqrt(n_in)
+        blocks[name] = {
+            "lora_a": jax.random.uniform(k, (L, n_in, rank), jnp.float32, -bound, bound).astype(dtype),
+            "lora_b": jnp.zeros((L, rank, n_out), dtype),
+            "scaling": jnp.full((L,), alpha / rank, jnp.float32),
+        }
+    return {"blocks": blocks}
+
+
+class Linear_LORA:
+    """Object-API parity with the reference ``Linear_LORA`` module
+    (Model/model.py:107-121): frozen base + trainable adapters."""
+
+    def __init__(self, in_dim: int, out_dim: int, rank: int, alpha: float, dropout: float,
+                 key: Optional[jax.Array] = None, dtype=jnp.float32):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        kw, ka, kb = jax.random.split(key, 3)
+        bound = 1.0 / math.sqrt(in_dim)
+        self.rank = rank
+        self.alpha = alpha
+        self.dropout = dropout
+        self.weight = jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound).astype(dtype)
+        self.lora_a = jax.random.uniform(ka, (in_dim, rank), jnp.float32, -bound, bound).astype(dtype)
+        self.lora_b = jax.random.uniform(kb, (rank, out_dim), jnp.float32,
+                                         -1.0 / math.sqrt(rank), 1.0 / math.sqrt(rank)).astype(dtype)
+
+    def __call__(self, x, dropout_rng: Optional[jax.Array] = None):
+        base = jnp.matmul(x, self.weight)
+        xin = x
+        if dropout_rng is not None and self.dropout > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - self.dropout, x.shape)
+            xin = jnp.where(keep, x / (1.0 - self.dropout), 0.0).astype(x.dtype)
+        return base + (self.alpha / self.rank) * jnp.matmul(jnp.matmul(xin, self.lora_a), self.lora_b)
+
+
+def merge_lora_into_params(params: dict, lora: dict) -> dict:
+    """Fold adapters into the base weights (inference-time merge):
+    ``W' = W + scaling · A @ B`` per layer."""
+    blocks = dict(params["language_model"]["model"]["blocks"])
+    att = dict(blocks["att"])
+    ff = dict(blocks["ff"])
+    sw = dict(ff["swiglu"])
+
+    def merged(w, ad):
+        delta = jnp.einsum("lir,lro->lio", ad["lora_a"], ad["lora_b"])
+        return (w + ad["scaling"][:, None, None] * delta).astype(w.dtype)
+
+    for name, ad in lora["blocks"].items():
+        if name in ("W_query", "W_key", "W_value", "out_proj"):
+            att[name] = {"weight": merged(att[name]["weight"], ad)}
+        elif name in ("w_gate", "w_up"):
+            sw[name] = merged(sw[name], ad)
+        elif name == "w_down":
+            ff["w_down"] = {"weight": merged(ff["w_down"]["weight"], ad)}
+    ff["swiglu"] = sw
+    blocks["att"] = att
+    blocks["ff"] = ff
+    lm = dict(params["language_model"])
+    model = dict(lm["model"])
+    model["blocks"] = blocks
+    lm["model"] = model
+    return {**params, "language_model": lm}
+
+
+class LoraTrainState(NamedTuple):
+    lora: dict
+    opt_state: tuple
+    step: jax.Array
+
+
+def make_lora_train_step(
+    config: MLLAMAConfig,
+    learning_rate: float = 1e-4,
+    lora_dropout: float = 0.0,
+    impl: str = "auto",
+):
+    """Build (init_state, train_step). ``train_step(params, state, batch, rng)``
+    differentiates only the adapters; base params are frozen (reference
+    Model/model.py:116-118)."""
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    def init_state(lora: dict) -> LoraTrainState:
+        return LoraTrainState(lora=lora, opt_state=tx.init(lora), step=jnp.zeros((), jnp.int32))
+
+    def loss_fn(lora, params, batch, rng):
+        out = vlm_forward(
+            params,
+            config,
+            input_ids=batch["input_ids"],
+            pixel_values=batch.get("pixel_values"),
+            attention_mask=batch.get("attention_mask"),
+            labels=batch["labels"],
+            lora=lora,
+            dropout_rng=rng if lora_dropout > 0.0 else None,
+            lora_dropout=lora_dropout,
+            impl=impl,
+        )
+        return out.loss
+
+    def train_step(params, state: LoraTrainState, batch: dict, rng: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.lora, params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        return LoraTrainState(lora=lora, opt_state=opt_state, step=state.step + 1), loss
+
+    return init_state, train_step
+
+
+def lora_train_step(params, state, batch, rng, config, **kw):
+    """One-shot convenience wrapper (builds the step each call; prefer
+    make_lora_train_step + jit for loops)."""
+    init_state, step_fn = make_lora_train_step(config, **kw)
+    return step_fn(params, state, batch, rng)
+
+
+# ---------------------------------------------------------------------------
+# Adapter-only checkpoint save/load (README "LoRA fine-tuning")
+# ---------------------------------------------------------------------------
+
+
+def save_lora_adapters(path: str, lora: dict) -> None:
+    from safetensors.numpy import save_file
+
+    flat = {}
+    for name, ad in lora["blocks"].items():
+        for leaf in ("lora_a", "lora_b", "scaling"):
+            flat[f"blocks.{name}.{leaf}"] = np.asarray(ad[leaf])
+    save_file(flat, path)
+
+
+def load_lora_adapters(path: str) -> dict:
+    from safetensors import safe_open
+
+    blocks: dict = {}
+    with safe_open(path, framework="np") as fh:
+        for key in fh.keys():
+            _, name, leaf = key.split(".")
+            blocks.setdefault(name, {})[leaf] = jnp.asarray(fh.get_tensor(key))
+    return {"blocks": blocks}

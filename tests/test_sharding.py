@@ -1,0 +1,118 @@
+"""GSPMD sharding tests on 8 virtual CPU devices (SURVEY §4 'Distributed':
+the TPU analog of multi-node-without-a-cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+from llama32mm_tpu.models.vlm import vlm_forward
+from llama32mm_tpu.parallel import (
+    create_mesh,
+    data_sharding,
+    param_shardings,
+    shard_params,
+)
+from llama32mm_tpu.train.lora import init_lora_params, make_lora_train_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def batch(tiny):
+    cfg, _ = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 12), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :4].set(cfg.image_token_index)
+    px = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 28, 28))
+    labels = ids.at[:, :4].set(-100)
+    return {"input_ids": ids, "pixel_values": px, "labels": labels}
+
+
+def test_mesh_creation():
+    mesh = create_mesh(dp=2, tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError, match="needs"):
+        create_mesh(dp=4, tp=4)
+
+
+def test_param_sharding_placement(tiny):
+    cfg, params = tiny
+    mesh = create_mesh(dp=2, tp=2)
+    sharded = shard_params(params, cfg, mesh)
+    wq = sharded["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"]
+    # out axis split over tp=2
+    shard_shapes = {s.data.shape for s in wq.addressable_shards}
+    L, H, O = params["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"].shape
+    assert shard_shapes == {(L, H, O // 2)}
+    # vision replicated
+    pe = sharded["vision_model"]["embeddings"]["patch_embedding"]["weight"]
+    assert all(s.data.shape == pe.shape for s in pe.addressable_shards)
+
+
+def test_sharded_forward_matches_single_device(tiny, batch):
+    cfg, params = tiny
+    out_ref = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                          pixel_values=batch["pixel_values"], impl="xla")
+
+    mesh = create_mesh(dp=2, tp=2)
+    sharded = shard_params(params, cfg, mesh)
+    ids = jax.device_put(batch["input_ids"], data_sharding(mesh, 2))
+    px = jax.device_put(batch["pixel_values"], data_sharding(mesh, 4))
+
+    @jax.jit
+    def fwd(p, ids, px):
+        return vlm_forward(p, cfg, input_ids=ids, pixel_values=px, impl="xla").logits
+
+    logits = fwd(sharded, ids, px)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(out_ref.logits),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_sharded_lora_train_step_matches_single_device(tiny, batch):
+    cfg, params = tiny
+    lora = init_lora_params(jax.random.PRNGKey(3), cfg.text_config, rank=4)
+    init_state, step = make_lora_train_step(cfg, learning_rate=1e-2, impl="xla")
+
+    # single device
+    state0 = init_state(lora)
+    _, loss_ref = step(params, state0, batch, jax.random.PRNGKey(0))
+
+    # sharded
+    mesh = create_mesh(dp=2, tp=2)
+    sharded_params = shard_params(params, cfg, mesh)
+    sharded_batch = {
+        "input_ids": jax.device_put(batch["input_ids"], data_sharding(mesh, 2)),
+        "pixel_values": jax.device_put(batch["pixel_values"], data_sharding(mesh, 4)),
+        "labels": jax.device_put(batch["labels"], data_sharding(mesh, 2)),
+    }
+    jit_step = jax.jit(step)
+    state = init_state(lora)
+    new_state, loss = jit_step(sharded_params, state, sharded_batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss), float(loss_ref), atol=1e-4, rtol=1e-4)
+    assert int(new_state.step) == 1
+
+
+def test_tp4_forward_matches(tiny, batch):
+    """Pure TP over 4 devices (dims in the tiny config divide by 4 except the
+    kv-head axis, which GSPMD handles by replicating that product dim)."""
+    cfg, params = tiny
+    out_ref = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                          pixel_values=batch["pixel_values"], impl="xla")
+    mesh = create_mesh(dp=1, tp=4)
+    sharded = shard_params(params, cfg, mesh)
+
+    @jax.jit
+    def fwd(p, ids, px):
+        return vlm_forward(p, cfg, input_ids=ids, pixel_values=px, impl="xla").logits
+
+    logits = fwd(sharded, batch["input_ids"], batch["pixel_values"])
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(out_ref.logits),
+                               atol=2e-4, rtol=2e-4)
