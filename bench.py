@@ -105,15 +105,20 @@ def main() -> None:
             rng=jax.random.PRNGKey(0),
         )
 
+    def fetch(res):
+        # device→host fetch: the only reliable sync point on tunneled
+        # backends where block_until_ready can return early.
+        return np.asarray(res.tokens)
+
     # Warmup / compile both program shapes.
-    run(1).tokens.block_until_ready()
-    run(MAX_NEW).tokens.block_until_ready()
+    fetch(run(1))
+    fetch(run(MAX_NEW))
 
     # TTFT: preprocess + prefill + first token (max_new=1 program).
     ttfts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        run(1).tokens.block_until_ready()
+        fetch(run(1))
         ttfts.append(time.perf_counter() - t0)
     ttft_p50 = float(np.percentile(ttfts, 50))
 
@@ -121,7 +126,7 @@ def main() -> None:
     totals = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run(MAX_NEW).tokens.block_until_ready()
+        fetch(run(MAX_NEW))
         totals.append(time.perf_counter() - t0)
     total_p50 = float(np.percentile(totals, 50))
     decode_tps = (MAX_NEW - 1) / max(total_p50 - ttft_p50, 1e-9)

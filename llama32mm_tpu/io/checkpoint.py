@@ -202,8 +202,12 @@ def load_checkpoint_params(
     """Load all ``*.safetensors`` under ``model_path`` into this framework's
     param pytree. Returns params with stacked per-layer arrays, cast to the
     config dtype; unmapped source keys are skipped and missing targets
-    reported (strict=False semantics, Model/utils.py:131-146)."""
-    from safetensors import safe_open
+    reported (strict=False semantics, Model/utils.py:131-146).
+
+    Shards are read through the native zero-copy mmap reader
+    (``native/safetensors_reader.cpp``) when available, falling back to python
+    safetensors."""
+    from llama32mm_tpu.io.native_st import iter_tensors
 
     files = sorted(
         os.path.join(model_path, fn)
@@ -234,40 +238,41 @@ def load_checkpoint_params(
         return None if leaf is None else tuple(leaf.shape)
 
     for sf in files:
-        with safe_open(sf, framework="np") as fh:
-            for key in fh.keys():
-                tr = translate_hf_key(key)
-                if tr is None:
-                    skipped.append(key)
+        # copy=False: each tensor is consumed (transposed/cast into the target
+        # buffer) within its loop iteration, before the mmap view expires.
+        for key, tensor in iter_tensors(sf, copy=False):
+            tr = translate_hf_key(key)
+            if tr is None:
+                skipped.append(key)
+                continue
+            path, layer_idx, kind = tr
+            tshape = target_shape(path)
+            if tshape is None:
+                skipped.append(key)
+                continue
+            if kind == "t":
+                tensor = np.ascontiguousarray(tensor.T)
+            elif kind == "conv":
+                d = tensor.shape[0]
+                tensor = np.ascontiguousarray(tensor.reshape(d, -1).T)
+            if layer_idx is not None:
+                expected = tshape[1:]
+                if tuple(tensor.shape) != expected:
+                    skipped.append(f"{key} (shape mismatch)")
                     continue
-                path, layer_idx, kind = tr
-                tshape = target_shape(path)
-                if tshape is None:
-                    skipped.append(key)
+                buf = _tree_get(host, list(path))
+                if buf is None:
+                    buf = np.zeros(tshape, dtype=np.float32)
+                    _tree_set(host, list(path), buf)
+                buf[layer_idx] = tensor.astype(np.float32)
+                filled.add(path + (layer_idx,))
+            else:
+                if tuple(tensor.shape) != tshape:
+                    skipped.append(f"{key} (shape mismatch)")
                     continue
-                tensor = fh.get_tensor(key)
-                if kind == "t":
-                    tensor = np.ascontiguousarray(tensor.T)
-                elif kind == "conv":
-                    d = tensor.shape[0]
-                    tensor = np.ascontiguousarray(tensor.reshape(d, -1).T)
-                if layer_idx is not None:
-                    expected = tshape[1:]
-                    if tuple(tensor.shape) != expected:
-                        skipped.append(f"{key} (shape mismatch)")
-                        continue
-                    buf = _tree_get(host, list(path))
-                    if buf is None:
-                        buf = np.zeros(tshape, dtype=np.float32)
-                        _tree_set(host, list(path), buf)
-                    buf[layer_idx] = tensor.astype(np.float32)
-                    filled.add(path + (layer_idx,))
-                else:
-                    if tuple(tensor.shape) != tshape:
-                        skipped.append(f"{key} (shape mismatch)")
-                        continue
-                    _tree_set(host, list(path), tensor.astype(np.float32))
-                    filled.add(path)
+                # astype(copy=True): never store a view into the shard mmap
+                _tree_set(host, list(path), tensor.astype(np.float32))
+                filled.add(path)
 
     # Fill any missing targets with random init so the model is runnable
     # (reference: load_state_dict(strict=False) leaves them at init).

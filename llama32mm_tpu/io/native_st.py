@@ -1,0 +1,190 @@
+"""ctypes binding for the native zero-copy safetensors reader
+(``native/safetensors_reader.cpp``).
+
+The reader mmaps each shard and hands numpy views directly into the page
+cache — no per-tensor host copies on the checkpoint load path (the runtime
+counterpart of the reference's L0 native layer; the reference itself reads
+shards through python safetensors, Model/utils.py:53-69).
+
+``open_safetensors`` transparently falls back to the python ``safetensors``
+package when the shared library is absent; ``ensure_built`` compiles it with
+g++ on demand.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libstreader.so"))
+
+_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "BF16": None,  # no numpy bf16; exposed as uint16 raw bits
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+
+_lib = None
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Build libstreader.so with g++ if missing. Returns availability."""
+    if os.path.exists(_SO_PATH):
+        return True
+    src = os.path.join(os.path.dirname(_SO_PATH), "safetensors_reader.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", _SO_PATH],
+            check=True,
+            capture_output=quiet,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not ensure_built():
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.stro_open.restype = ctypes.c_void_p
+    lib.stro_open.argtypes = [ctypes.c_char_p]
+    lib.stro_error.restype = ctypes.c_char_p
+    lib.stro_error.argtypes = [ctypes.c_void_p]
+    lib.stro_num_tensors.restype = ctypes.c_int
+    lib.stro_num_tensors.argtypes = [ctypes.c_void_p]
+    lib.stro_name.restype = ctypes.c_char_p
+    lib.stro_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.stro_info.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.stro_info.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.stro_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativeSafetensors:
+    """Zero-copy view onto one safetensors shard."""
+
+    def __init__(self, path: str):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native reader unavailable (g++ build failed)")
+        self._lib = lib
+        self._h = lib.stro_open(path.encode())
+        if not self._h:
+            raise OSError(f"cannot open safetensors file: {path}")
+        err = lib.stro_error(self._h).decode()
+        if err:
+            lib.stro_close(self._h)
+            self._h = None
+            raise ValueError(f"bad safetensors header in {path}: {err}")
+
+    def keys(self):
+        n = self._lib.stro_num_tensors(self._h)
+        return [self._lib.stro_name(self._h, i).decode() for i in range(n)]
+
+    def get_tensor(self, name: str) -> Tuple[np.ndarray, str]:
+        """Returns ``(array, safetensors_dtype)``. BF16 tensors come back as
+        uint16 raw bits (convert with ``bf16_bits_to_float32`` or feed to jax
+        via ``jax.numpy.asarray(bits).view(jnp.bfloat16)``). The array is a
+        VIEW into the mmap — copy before closing if it must outlive this."""
+        dtype_buf = ctypes.create_string_buffer(16)
+        shape_buf = (ctypes.c_int64 * 8)()
+        ndim = ctypes.c_int()
+        nbytes = ctypes.c_int64()
+        ptr = self._lib.stro_info(
+            self._h, name.encode(), dtype_buf, shape_buf, ctypes.byref(ndim),
+            ctypes.byref(nbytes),
+        )
+        if not ptr:
+            raise KeyError(name)
+        st_dtype = dtype_buf.value.decode()
+        shape = tuple(shape_buf[i] for i in range(ndim.value))
+        np_dtype = _DTYPES.get(st_dtype)
+        raw = np.ctypeslib.as_array(ptr, shape=(nbytes.value,))
+        if np_dtype is None:  # BF16 → uint16 bit view
+            arr = raw.view(np.uint16).reshape(shape)
+        else:
+            arr = raw.view(np_dtype).reshape(shape)
+        return arr, st_dtype
+
+    def close(self):
+        if self._h:
+            self._lib.stro_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def bf16_bits_to_float32(bits: np.ndarray) -> np.ndarray:
+    out = np.zeros(bits.shape, np.uint32)
+    out[...] = bits.astype(np.uint32) << 16
+    return out.view(np.float32)
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def iter_tensors(path: str, copy: bool = True) -> Iterator[Tuple[str, np.ndarray]]:
+    """Iterate (name, fp32-or-native numpy array) over a shard, using the
+    native reader when available, python safetensors otherwise.
+
+    With ``copy=True`` (default) every array is safe to keep. With
+    ``copy=False`` F32/int arrays are VIEWS into the shard's mmap and are only
+    valid until the generator is exhausted/closed — callers must consume each
+    tensor (copy/transform) before advancing."""
+    if native_available():
+        with NativeSafetensors(path) as f:
+            for name in f.keys():
+                arr, st_dtype = f.get_tensor(name)
+                if st_dtype == "BF16":
+                    arr = bf16_bits_to_float32(arr)
+                elif st_dtype == "F16":
+                    arr = arr.astype(np.float32)
+                elif copy:
+                    arr = np.array(arr)
+                yield name, arr
+    else:
+        from safetensors import safe_open
+
+        with safe_open(path, framework="np") as f:
+            for name in f.keys():
+                t = f.get_tensor(name)
+                if t.dtype == np.float16:
+                    t = t.astype(np.float32)
+                yield name, t
