@@ -102,7 +102,9 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(b, nh * nw, c * p * p)
 
 
-def _vit_attention(x, attn_params, num_heads, head_dim):
+def _vit_attention(x, attn_params, num_heads, head_dim, impl="auto"):
+    from llama32mm_tpu.ops.dispatch import resolve_impl
+
     b, n, d = x.shape
 
     def proj(p):
@@ -114,17 +116,29 @@ def _vit_attention(x, attn_params, num_heads, head_dim):
     q, k, v = split(proj(attn_params["q_proj"])), split(proj(attn_params["k_proj"])), split(
         proj(attn_params["v_proj"])
     )
-    scale = jnp.asarray(head_dim**-0.5, x.dtype)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-    # fp32 softmax then cast back (vision_encoder.py:125).
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    # Flash only where the [N, N] score materialization would hurt: at
+    # ViT-H's N=1600 the XLA einsum path measures faster on v5e (189 ms vs
+    # 171 ms TTFT), so the threshold sits above it.
+    if resolve_impl(impl) == "pallas" and n >= 4096:
+        # Non-causal flash: logits are s/√d in fp32 with an fp32 online
+        # softmax — numerically the reference's scale-then-fp32-softmax
+        # (vision_encoder.py:125) without materializing the [N, N] scores.
+        from llama32mm_tpu.ops.pallas.attention import flash_gqa_attention
+
+        kv_valid = jnp.ones((b, n), jnp.int32)
+        ctx = flash_gqa_attention(q, k, v, kv_valid, 0, causal=False)
+    else:
+        scale = jnp.asarray(head_dim**-0.5, x.dtype)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        # fp32 softmax then cast back (vision_encoder.py:125).
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d)
     return jnp.matmul(ctx, attn_params["out_proj"]["weight"]) + attn_params["out_proj"]["bias"]
 
 
 def vision_encoder_forward(
-    params: dict, config: VisionEncoderConfig, pixel_values: jax.Array
+    params: dict, config: VisionEncoderConfig, pixel_values: jax.Array, impl: str = "auto"
 ) -> jax.Array:
     """``VisionEncoder.forward``: ``[B, C, H, W] → [B, num_patches, D]``."""
     emb = params["embeddings"]
@@ -137,7 +151,7 @@ def vision_encoder_forward(
 
     def block(h, lp):
         normed = _layer_norm(h, lp["layernorm1"]["weight"], lp["layernorm1"]["bias"], eps)
-        h = h + _vit_attention(normed, lp["self_attn"], num_heads, head_dim)
+        h = h + _vit_attention(normed, lp["self_attn"], num_heads, head_dim, impl)
         normed = _layer_norm(h, lp["layernorm2"]["weight"], lp["layernorm2"]["bias"], eps)
         mlp = lp["mlp"]
         y = jnp.matmul(normed, mlp["fc1"]["weight"]) + mlp["fc1"]["bias"]

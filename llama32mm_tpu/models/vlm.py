@@ -89,9 +89,13 @@ def merge_input_ids_with_image_features(
     return merged, merged_mask
 
 
-def encode_image(params: dict, config: MLLAMAConfig, pixel_values: jax.Array) -> jax.Array:
+def encode_image(
+    params: dict, config: MLLAMAConfig, pixel_values: jax.Array, impl: str = "auto"
+) -> jax.Array:
     """Vision tower + projector: ``[B, C, H, W] → [B, N, text_hidden]``."""
-    feats = vision_encoder_forward(params["vision_model"], config.vision_config, pixel_values)
+    feats = vision_encoder_forward(
+        params["vision_model"], config.vision_config, pixel_values, impl=impl
+    )
     proj = params["multi_modal_projector"]["linear"]
     return jnp.matmul(feats, proj["weight"]) + proj["bias"]
 
@@ -119,7 +123,7 @@ def vlm_forward(
         inputs_embeds = params["language_model"]["model"]["tok_emb"]["weight"][ids]
 
     if pixel_values is not None and inputs_embeds is not None:
-        image_features = encode_image(params, config, pixel_values)
+        image_features = encode_image(params, config, pixel_values, impl=impl)
         inputs_embeds, attention_mask = merge_input_ids_with_image_features(
             image_features, inputs_embeds, input_ids, attention_mask, config.image_token_index
         )

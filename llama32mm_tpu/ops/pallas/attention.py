@@ -57,41 +57,55 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, BK]
-
-    allowed = (kvv_ref[0] != 0)[None, :]  # [1, BK]
-    # Bound the ragged last KV block: beyond Tk both k/v and kv_valid blocks
-    # hold padding garbage, so mask by absolute key position.
+    # All grid/ref reads happen OUTSIDE pl.when bodies (program_id cannot be
+    # lowered inside a cond in interpret mode).
+    iq = pl.program_id(1)
     k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    allowed = allowed & (k_pos < tk)
     if causal:
-        q_pos = qoff_ref[0, 0] + pl.program_id(1) * bq + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, bk), 0
+        qoff = qoff_ref[0, 0]
+        q_pos = qoff + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        # Causal block skipping: a KV block whose first key position exceeds
+        # the last query position of this Q block is fully masked — skip its
+        # matmuls entirely (≈2× fewer FLOPs for causal prefill).
+        relevant = (ik * bk) <= (qoff + (iq + 1) * bq - 1)
+    else:
+        q_pos = None
+        relevant = True
+
+    @pl.when(relevant)
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+
+        allowed = (kvv_ref[0] != 0)[None, :]  # [1, BK]
+        # Bound the ragged last KV block: beyond Tk both k/v and kv_valid
+        # blocks hold padding garbage, so mask by absolute key position.
+        allowed = allowed & (k_pos < tk)
+        if causal:
+            allowed = allowed & (k_pos <= q_pos)
+
+        logits = jnp.where(allowed, s * inv_sqrt_d, _NEG_BIG)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new) * allowed.astype(jnp.float32)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:] = m_new
+        # zero padded V rows: p is 0 there, but 0·NaN = NaN through the dot
+        v = v_ref[0]
+        v_row_valid = (ik * bk + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)) < tk
+        v = jnp.where(v_row_valid, v, 0)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        allowed = allowed & (k_pos <= q_pos)
-
-    logits = jnp.where(allowed, s * inv_sqrt_d, _NEG_BIG)
-
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new) * allowed.astype(jnp.float32)
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_scr[:] = m_new
-    # zero padded V rows: p is 0 there, but 0·NaN = NaN through the dot
-    v = v_ref[0]
-    v_row_valid = (ik * bk + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)) < tk
-    v = jnp.where(v_row_valid, v, 0)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
     @pl.when(ik == pl.num_programs(2) - 1)
     def _():

@@ -1,0 +1,133 @@
+"""LoRA fine-tune CLI.
+
+The reference ships the LoRA pieces but no trainer (SURVEY §3.4 — the README
+describes an ``apply_lora`` recipe and a user-supplied loop). This CLI is that
+loop, TPU-native: jit-compiled adapter-only training steps over the labels/
+shifted-CE path (``Model/model.py:431-438`` semantics), with adapter-only
+checkpoint saves (README "LoRA fine-tuning").
+
+Data: a JSONL file of ``{"image": path, "prompt": str, "answer": str}``
+records. Without ``--data`` a synthetic random batch is used (smoke mode).
+
+Usage:
+  python -m llama32mm_tpu.train.finetune --hf-weights weights/11b \
+      --data train.jsonl --rank 16 --steps 100 --save adapters.safetensors
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="LoRA fine-tuning for the TPU-native VLM.")
+    p.add_argument("--hf-weights", default=None,
+                   help="HF checkpoint dir; omit for a tiny random-init smoke run.")
+    p.add_argument("--data", default=None, help="JSONL of {image, prompt, answer}.")
+    p.add_argument("--rank", type=int, default=16)
+    p.add_argument("--alpha", type=float, default=16.0)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--save", default="lora_adapters.safetensors")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def _iter_jsonl_batches(path, processor, tokenizer, max_seq_len):
+    from PIL import Image
+
+    import numpy as np
+
+    with open(path, encoding="utf-8") as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    if not records:
+        sys.exit(f"No records in {path}")
+    while True:
+        for rec in records:
+            image = Image.open(rec["image"]).convert("RGB")
+            inputs = processor([rec["prompt"]], [image], padding="max_length")
+            answer_ids = tokenizer(rec["answer"]).input_ids
+            ids = inputs["input_ids"][0].tolist() + list(answer_ids)
+            ids = ids[:max_seq_len]
+            labels = [-100] * inputs["input_ids"].shape[1] + list(answer_ids)
+            labels = labels[:max_seq_len]
+            pad = max_seq_len - len(ids)
+            mask = [1] * len(ids) + [0] * pad
+            ids = ids + [0] * pad
+            labels = labels + [-100] * pad
+            yield {
+                "input_ids": np.asarray([ids], np.int32),
+                "pixel_values": np.asarray(inputs["pixel_values"], np.float32),
+                "attention_mask": np.asarray([mask], np.int32),
+                "labels": np.asarray([labels], np.int32),
+            }
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from llama32mm_tpu.train.lora import (
+        init_lora_params,
+        make_lora_train_step,
+        save_lora_adapters,
+    )
+
+    if args.hf_weights:
+        from llama32mm_tpu.io.checkpoint import load_hf_model
+        from llama32mm_tpu.preprocess.processor import MllamaImageProcessor
+
+        model, tokenizer = load_hf_model(args.hf_weights)
+        cfg, params = model.config, model.params
+        processor = MllamaImageProcessor(
+            tokenizer, cfg.text_config.num_image_tokens, cfg.vision_config.image_size
+        )
+        if args.data:
+            batches = _iter_jsonl_batches(args.data, processor, tokenizer, args.max_seq_len)
+        else:
+            sys.exit("--data is required with --hf-weights")
+    else:
+        # smoke mode: tiny random model + synthetic batch
+        from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+
+        cfg = tiny_mllama_config()
+        params = init_vlm_params(jax.random.PRNGKey(args.seed), cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size - 10)
+        ids = ids.at[:, :4].set(cfg.image_token_index)
+        batch = {
+            "input_ids": ids,
+            "pixel_values": jax.random.normal(jax.random.PRNGKey(2), (2, 3, 28, 28)),
+            "attention_mask": jnp.ones_like(ids),
+            "labels": ids.at[:, :4].set(-100),
+        }
+        batches = iter(lambda: batch, None)  # infinite same batch
+
+    lora = init_lora_params(
+        jax.random.PRNGKey(args.seed + 1), cfg.text_config, rank=args.rank, alpha=args.alpha
+    )
+    init_state, step_fn = make_lora_train_step(
+        cfg, learning_rate=args.lr, lora_dropout=args.dropout
+    )
+    step_fn = jax.jit(step_fn)
+    state = init_state(lora)
+
+    rng = jax.random.PRNGKey(args.seed + 2)
+    for i in range(args.steps):
+        batch = next(batches)
+        state, loss = step_fn(params, state, batch, jax.random.fold_in(rng, i))
+        if i % args.log_every == 0 or i == args.steps - 1:
+            print(f"step {i:5d}  loss {float(loss):.4f}")
+
+    save_lora_adapters(args.save, state.lora)
+    print(f"Saved adapters to {args.save}")
+
+
+if __name__ == "__main__":
+    main()

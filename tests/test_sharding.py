@@ -116,3 +116,23 @@ def test_tp4_forward_matches(tiny, batch):
     logits = fwd(sharded, batch["input_ids"], batch["pixel_values"])
     np.testing.assert_allclose(np.asarray(logits), np.asarray(out_ref.logits),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_sharded_engine_generate_matches(tiny):
+    """End-to-end sharded serving: InferenceEngine over TP-sharded params
+    produces identical tokens to single-device."""
+    from llama32mm_tpu.inference.engine import InferenceEngine
+
+    cfg, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 10), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :4].set(cfg.image_token_index)
+    px = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 28, 28))
+
+    eng = InferenceEngine(params, cfg, max_cache_length=32, impl="xla")
+    ref = eng.generate(ids, px, max_new_tokens=6, eos_token_id=-1)
+
+    mesh = create_mesh(dp=1, tp=2)
+    sharded = shard_params(params, cfg, mesh)
+    eng_s = InferenceEngine(sharded, cfg, max_cache_length=32, impl="xla")
+    got = eng_s.generate(ids, px, max_new_tokens=6, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
