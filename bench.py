@@ -134,6 +134,34 @@ def main() -> None:
     mean_ctx = s + MAX_NEW // 2
     roofline = decode_roofline_tokens_per_sec(cfg, mean_ctx, hbm_gbps)
 
+    # --- int8 weights-only serving mode (secondary metric) ---
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    qparams = quantize_llama_params(params)
+    qengine = InferenceEngine(qparams, cfg, max_cache_length=CACHE_LEN)
+
+    def qrun(max_new):
+        px = preprocess(raw)
+        return qengine.generate(
+            ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1,
+            rng=jax.random.PRNGKey(0),
+        )
+
+    np.asarray(qrun(1).tokens)
+    np.asarray(qrun(MAX_NEW).tokens)
+    q_ttfts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(qrun(1).tokens)
+        q_ttfts.append(time.perf_counter() - t0)
+    q_totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(qrun(MAX_NEW).tokens)
+        q_totals.append(time.perf_counter() - t0)
+    q_ttft = float(np.percentile(q_ttfts, 50))
+    q_decode_tps = (MAX_NEW - 1) / max(float(np.percentile(q_totals, 50)) - q_ttft, 1e-9)
+
     print(
         json.dumps(
             {
@@ -143,6 +171,8 @@ def main() -> None:
                 "vs_baseline": round(decode_tps / roofline, 4),
                 "roofline_tokens_per_sec": round(roofline, 2),
                 "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
+                "int8_decode_tokens_per_sec": round(q_decode_tps, 2),
+                "int8_vs_bf16_roofline": round(q_decode_tps / roofline, 4),
                 "config": "llama3.2-3B-text+ViT-H/14@560, bf16, 1 chip",
                 "backend": backend,
                 "device_kind": kind,

@@ -134,8 +134,13 @@ def _maybe_lora(x, base_out, lora, dropout_rng=None, dropout_rate: float = 0.0):
     return base_out + (scaling * delta).astype(base_out.dtype)
 
 
-def _linear(x, weight, lora=None, dropout_rng=None, dropout_rate=0.0):
-    out = jnp.matmul(x, weight)
+def _linear(x, weight, lora=None, dropout_rng=None, dropout_rate=0.0, impl="auto"):
+    from llama32mm_tpu.ops.quant import is_quantized, qlinear
+
+    if is_quantized(weight):
+        out = qlinear(x, weight, impl=impl)
+    else:
+        out = jnp.matmul(x, weight)
     return _maybe_lora(x, out, lora, dropout_rng, dropout_rate)
 
 
@@ -224,9 +229,9 @@ def _block_forward(
     # norm1 → attention
     normed = fused_add_rmsnorm(h, layer_params["norm1"]["weight"], config.rms_norm_eps, impl=impl)
 
-    q = _linear(normed, att_p["W_query"]["weight"], lora_for("W_query"), rng_for("W_query"), dr)
-    k = _linear(normed, att_p["W_key"]["weight"], lora_for("W_key"), rng_for("W_key"), dr)
-    v = _linear(normed, att_p["W_value"]["weight"], lora_for("W_value"), rng_for("W_value"), dr)
+    q = _linear(normed, att_p["W_query"]["weight"], lora_for("W_query"), rng_for("W_query"), dr, impl)
+    k = _linear(normed, att_p["W_key"]["weight"], lora_for("W_key"), rng_for("W_key"), dr, impl)
+    v = _linear(normed, att_p["W_value"]["weight"], lora_for("W_value"), rng_for("W_value"), dr, impl)
     q = q.reshape(b, t, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -249,29 +254,35 @@ def _block_forward(
 
     attn = gqa_attention(q, k, v, mask=mask, structured=structured, impl=impl)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * hd)
-    attn_out = _linear(attn, att_p["out_proj"]["weight"], lora_for("out_proj"), rng_for("out_proj"), dr)
+    attn_out = _linear(attn, att_p["out_proj"]["weight"], lora_for("out_proj"), rng_for("out_proj"), dr, impl)
 
     # Fused add-norm: residual enters the RMSNorm (Model/model.py:271).
     normed_ff = fused_add_rmsnorm(
         attn_out, layer_params["norm2"]["weight"], config.rms_norm_eps, residual=h, impl=impl
     )
     sw = ff_p["swiglu"]
-    inter = fused_swiglu(
-        normed_ff,
-        sw["w_gate"],
-        sw["w_up"],
-        sw.get("b_gate"),
-        sw.get("b_up"),
-        impl=impl,
+    from llama32mm_tpu.ops.quant import is_quantized
+
+    has_gateup_lora = lora is not None and (
+        lora_for("w_gate") is not None or lora_for("w_up") is not None
     )
-    if lora is not None and (lora_for("w_gate") is not None or lora_for("w_up") is not None):
-        # LoRA deltas on gate/up recompose the activation exactly:
-        # silu(g+Δg)·(u+Δu) can't be expressed as a delta on `inter`, so
-        # recompute the fallback composition when gate/up adapters are present.
-        gate = _linear(normed_ff, sw["w_gate"], lora_for("w_gate"), rng_for("w_gate"), dr)
-        up = _linear(normed_ff, sw["w_up"], lora_for("w_up"), rng_for("w_up"), dr)
-        inter = jax.nn.silu(gate) * up
-    ff_out = _linear(inter, ff_p["w_down"]["weight"], lora_for("w_down"), rng_for("w_down"), dr)
+    if is_quantized(sw["w_gate"]) or has_gateup_lora:
+        # Quantized gate/up stream through the int8 dequant matmul; LoRA
+        # deltas on gate/up recompose the activation exactly (silu(g+Δg)·(u+Δu)
+        # isn't a delta on `inter`), so both cases use the explicit form.
+        gate = _linear(normed_ff, sw["w_gate"], lora_for("w_gate"), rng_for("w_gate"), dr, impl)
+        up = _linear(normed_ff, sw["w_up"], lora_for("w_up"), rng_for("w_up"), dr, impl)
+        inter = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(gate.dtype)
+    else:
+        inter = fused_swiglu(
+            normed_ff,
+            sw["w_gate"],
+            sw["w_up"],
+            sw.get("b_gate"),
+            sw.get("b_up"),
+            impl=impl,
+        )
+    ff_out = _linear(inter, ff_p["w_down"]["weight"], lora_for("w_down"), rng_for("w_down"), dr, impl)
 
     # Residual-stream drop (parity, SURVEY §2.9 #2): return attn_out + ff_out;
     # the block input h is NOT added back.
@@ -393,12 +404,14 @@ def llama_forward(
     return LlamaOutput(hidden_states=h, kv_cache=new_cache)
 
 
-def lm_head_apply(params: dict, config: LLAMA32Config, hidden: jax.Array, lora=None) -> jax.Array:
+def lm_head_apply(
+    params: dict, config: LLAMA32Config, hidden: jax.Array, lora=None, impl: str = "auto"
+) -> jax.Array:
     """``Llama3ForCausalLM`` head; tied weights use the embedding transposed."""
     w = params["lm_head"]["weight"]
     if w is None:
         w = params["model"]["tok_emb"]["weight"].T
-    return _linear(hidden, w, lora)
+    return _linear(hidden, w, lora, impl=impl)
 
 
 def causal_lm_forward(

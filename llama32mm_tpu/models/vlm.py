@@ -140,7 +140,7 @@ def vlm_forward(
         lora_dropout=lora_dropout,
         impl=impl,
     )
-    logits = lm_head_apply(params["language_model"], tc, out.hidden_states)
+    logits = lm_head_apply(params["language_model"], tc, out.hidden_states, impl=impl)
 
     loss = None
     if labels is not None:

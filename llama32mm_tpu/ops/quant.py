@@ -1,0 +1,95 @@
+"""Weights-only int8 quantization (serving extension — opt-in, off the
+fp32-parity path; the reference has no quantization).
+
+``quantize_weight`` produces symmetric per-output-channel int8 + fp32 scales;
+``qlinear`` dispatches to the Pallas dequant-in-VMEM matmul on TPU (the
+bandwidth win is the point) and a plain dequantized matmul elsewhere.
+``quantize_llama_params`` rewrites the text-decoder linears of a param tree in
+place; norms, embeddings, and the vision tower stay in the float dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llama32mm_tpu.ops.dispatch import resolve_impl
+
+
+def quantize_weight(w: jax.Array) -> dict:
+    """[in, out] float → {"q": int8 [in,out], "scale": fp32 [out]}."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0)  # per output channel
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequantize_weight(qw: dict, dtype=jnp.bfloat16) -> jax.Array:
+    return (qw["q"].astype(jnp.float32) * qw["scale"]).astype(dtype)
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
+
+
+def qlinear(x: jax.Array, qw: dict, impl: str = "auto") -> jax.Array:
+    """``x @ dequant(qw)`` with the dequant fused into the matmul."""
+    if resolve_impl(impl) == "pallas":
+        from llama32mm_tpu.ops.pallas.quant_matmul import int8_matmul_pallas
+
+        return int8_matmul_pallas(x, qw["q"], qw["scale"])
+    w = qw["q"].astype(x.dtype)
+    return (jnp.matmul(x, w).astype(jnp.float32) * qw["scale"]).astype(x.dtype)
+
+
+_QUANT_TARGET_PATHS = (
+    ("att", "W_query", "weight"),
+    ("att", "W_key", "weight"),
+    ("att", "W_value", "weight"),
+    ("att", "out_proj", "weight"),
+    ("ff", "swiglu", "w_gate"),
+    ("ff", "swiglu", "w_up"),
+    ("ff", "w_down", "weight"),
+)
+
+
+def quantize_llama_params(params: dict, quantize_lm_head: bool = True) -> dict:
+    """Quantize the stacked text-decoder linears of a VLM/causal-LM param tree.
+
+    Each ``[L, in, out]`` stacked weight becomes ``{"q": int8 [L,in,out],
+    "scale": fp32 [L,out]}`` (per-layer per-channel scales). Embeddings,
+    norms, and the vision tower are untouched.
+    """
+
+    def q_leaf(w):
+        # stacked [L, in, out] → per-layer per-channel quantization
+        return jax.vmap(quantize_weight)(w)
+
+    lm = params.get("language_model", params)
+    blocks = lm["model"]["blocks"]
+
+    def rewrite(node, path):
+        out = {}
+        for name, leaf in node.items():
+            p = path + (name,)
+            if isinstance(leaf, dict):
+                out[name] = rewrite(leaf, p)
+            elif p in _QUANT_TARGET_PATHS:
+                out[name] = q_leaf(leaf)
+            else:
+                out[name] = leaf
+        return out
+
+    new_blocks = rewrite(blocks, ())
+    new_model = {**lm["model"], "blocks": new_blocks}
+    new_lm = {**lm, "model": new_model}
+
+    if quantize_lm_head and lm.get("lm_head", {}).get("weight") is not None:
+        new_lm = {**new_lm, "lm_head": {"weight": quantize_weight(lm["lm_head"]["weight"])}}
+
+    if "language_model" in params:
+        return {**params, "language_model": new_lm}
+    return new_lm

@@ -102,12 +102,29 @@ def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 
 def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
-    """Place a host param tree onto the mesh with the TP layout."""
-    sh = param_shardings(config, mesh, params_like=params)
+    """Place a param tree onto the mesh with the TP layout. Handles int8
+    quantized leaves (``{"q", "scale"}``): the int8 tensor takes the float
+    weight's sharding; the per-channel scale shards on the same output axis."""
+    from llama32mm_tpu.ops.quant import is_quantized
 
-    def put(p, s):
+    spec_tree = param_shardings(config, mesh, params_like=params)
+
+    def walk(p, s):
         if p is None:
             return None
+        if is_quantized(p):
+            pspec = tuple(s.spec) if isinstance(s, NamedSharding) else ()
+            out_axis = pspec[-1] if pspec else None
+            if p["q"].ndim == 3:  # stacked [L, in, out]
+                scale_sh = _ns(mesh, None, out_axis)
+            else:  # [in, out]
+                scale_sh = _ns(mesh, out_axis)
+            return {
+                "q": jax.device_put(p["q"], s),
+                "scale": jax.device_put(p["scale"], scale_sh),
+            }
+        if isinstance(p, dict):
+            return {k: walk(v, s[k] if isinstance(s, dict) else s) for k, v in p.items()}
         return jax.device_put(p, s)
 
-    return jax.tree.map(put, params, sh, is_leaf=lambda x: x is None)
+    return walk(params, spec_tree)

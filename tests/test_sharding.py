@@ -136,3 +136,25 @@ def test_sharded_engine_generate_matches(tiny):
     eng_s = InferenceEngine(sharded, cfg, max_cache_length=32, impl="xla")
     got = eng_s.generate(ids, px, max_new_tokens=6, eos_token_id=-1)
     np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_sharded_int8_forward_matches(tiny, batch):
+    """TP-sharded int8 params produce the same logits as unsharded int8."""
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    cfg, params = tiny
+    qparams = quantize_llama_params(
+        jax.tree.map(lambda x: x, params)  # copy-safe
+    )
+    out_ref = vlm_forward(qparams, cfg, input_ids=batch["input_ids"],
+                          pixel_values=batch["pixel_values"], impl="xla")
+    mesh = create_mesh(dp=1, tp=2)
+    sharded = shard_params(qparams, cfg, mesh)
+
+    @jax.jit
+    def fwd(p, ids, px):
+        return vlm_forward(p, cfg, input_ids=ids, pixel_values=px, impl="xla").logits
+
+    logits = fwd(sharded, batch["input_ids"], batch["pixel_values"])
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(out_ref.logits),
+                               atol=2e-4, rtol=2e-4)
