@@ -180,6 +180,32 @@ def lora_train_step(params, state, batch, rng, config, **kw):
 
 
 # ---------------------------------------------------------------------------
+# Train-state save/resume (adapters + optimizer state; the reference has no
+# resume at all — SURVEY §5 'Checkpoint/resume')
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path: str, state: LoraTrainState) -> None:
+    """Persist the full training state (adapters + Adam moments + step) so
+    fine-tuning can resume exactly."""
+    leaves, _ = jax.tree.flatten(state)
+    np.savez_compressed(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_train_state(path: str, template: LoraTrainState) -> LoraTrainState:
+    """Restore a state saved by ``save_train_state``; ``template`` (e.g. a
+    fresh ``init_state(lora)``) provides the tree structure."""
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(template)
+    loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    for want, got in zip(leaves, loaded):
+        assert tuple(jnp.shape(want)) == tuple(got.shape), (
+            f"train-state shape mismatch: {jnp.shape(want)} vs {got.shape}"
+        )
+    return jax.tree.unflatten(treedef, loaded)
+
+
+# ---------------------------------------------------------------------------
 # Adapter-only checkpoint save/load (README "LoRA fine-tuning")
 # ---------------------------------------------------------------------------
 

@@ -111,3 +111,31 @@ def test_grads_flow_only_to_adapters(tiny, batch):
     gb = grads["blocks"]["W_query"]["lora_b"]
     assert float(jnp.max(jnp.abs(gb))) > 0.0
     assert jax.tree.structure(grads) == jax.tree.structure(lora)
+
+
+def test_train_state_save_resume(tiny, batch, tmp_path):
+    """Training resumed from a saved state continues identically."""
+    from llama32mm_tpu.train.lora import load_train_state, save_train_state
+
+    cfg, params = tiny
+    lora = init_lora_params(jax.random.PRNGKey(8), cfg.text_config, rank=4)
+    init_state, step = make_lora_train_step(cfg, learning_rate=1e-2, impl="xla")
+    step = jax.jit(step)
+    rng = jax.random.PRNGKey(0)
+
+    state = init_state(lora)
+    for i in range(3):
+        state, _ = step(params, state, batch, jax.random.fold_in(rng, i))
+
+    p = str(tmp_path / "train_state.npz")
+    save_train_state(p, state)
+    restored = load_train_state(p, init_state(lora))
+    assert int(restored.step) == 3
+
+    state_a, loss_a = step(params, state, batch, jax.random.fold_in(rng, 3))
+    state_b, loss_b = step(params, restored, batch, jax.random.fold_in(rng, 3))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-6)
+    la = jax.tree.leaves(state_a.lora)
+    lb = jax.tree.leaves(state_b.lora)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
