@@ -137,7 +137,12 @@ def main() -> None:
     # --- int8 weights-only serving mode (secondary metric) ---
     from llama32mm_tpu.ops.quant import quantize_llama_params
 
-    qparams = quantize_llama_params(params)
+    # Free the bf16 serving state as the int8 copy is built: the bf16 engine
+    # (and its cached executables) first, then each donated decoder weight —
+    # both full weight sets never coexist in HBM (16 GB v5e).
+    del engine
+    qparams = quantize_llama_params(params, free_originals=True)
+    params = None
     qengine = InferenceEngine(qparams, cfg, max_cache_length=CACHE_LEN)
 
     def qrun(max_new):

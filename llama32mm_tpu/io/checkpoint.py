@@ -22,6 +22,7 @@ beyond the streaming buffers).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -193,11 +194,35 @@ def _tree_set(tree, path, value):
     node[path[-1]] = value
 
 
+def _streaming_loader_fns(dt):
+    """jitted helpers for the streaming path, cached per dtype.
+
+    ``alloc`` materializes a zero target directly on device (optionally in its
+    GSPMD sharding — never on host); ``write_row`` donates the buffer and
+    overwrites one leading-axis slice, so device memory holds exactly one copy
+    of each parameter while layers stream in.
+    """
+
+    def alloc(shape, sharding):
+        fn = jax.jit(
+            lambda: jnp.zeros(shape, dt),
+            out_shardings=None if sharding is None else sharding,
+        )
+        return fn()
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def write_row(buf, row, idx):
+        return jax.lax.dynamic_update_index_in_dim(buf, row.astype(buf.dtype), idx, 0)
+
+    return alloc, write_row
+
+
 def load_checkpoint_params(
     model_path: str,
     config: MLLAMAConfig,
     shardings=None,
     verbose: bool = True,
+    streaming: bool = False,
 ) -> dict:
     """Load all ``*.safetensors`` under ``model_path`` into this framework's
     param pytree. Returns params with stacked per-layer arrays, cast to the
@@ -206,7 +231,15 @@ def load_checkpoint_params(
 
     Shards are read through the native zero-copy mmap reader
     (``native/safetensors_reader.cpp``) when available, falling back to python
-    safetensors."""
+    safetensors.
+
+    ``streaming=True`` (the 90B path — SURVEY §7 'Hard parts': no full-model
+    host materialization) places every tensor on device as it is read: stacked
+    per-layer targets are allocated directly in their GSPMD sharding and each
+    layer row is written with a donated ``dynamic_update_index_in_dim``, so
+    host RAM holds one parameter at a time and HBM exactly one copy of each
+    target. Requires ``shardings`` to be a dict tree (e.g. from
+    ``parallel.sharding.param_shardings``) or None."""
     from llama32mm_tpu.io.native_st import iter_tensors
 
     files = sorted(
@@ -244,6 +277,20 @@ def load_checkpoint_params(
         stage_dtype = ml_dtypes.bfloat16
 
     n_text_layers = config.text_config.n_layers
+    dt = config.text_config.jnp_dtype
+
+    if streaming and shardings is not None and not isinstance(shardings, dict):
+        raise ValueError(
+            "streaming=True requires a dict sharding tree (param_shardings) or None"
+        )
+    if streaming:
+        alloc, write_row = _streaming_loader_fns(dt)
+
+    def shard_leaf(path):
+        if not isinstance(shardings, dict):
+            return None
+        leaf = _tree_get(shardings, list(path))
+        return None if isinstance(leaf, dict) else leaf
 
     def target_shape(path):
         leaf = _tree_get(ref, list(path))
@@ -272,26 +319,41 @@ def load_checkpoint_params(
                 if tuple(tensor.shape) != expected:
                     skipped.append(f"{key} (shape mismatch)")
                     continue
-                buf = _tree_get(host, list(path))
-                if buf is None:
-                    buf = np.zeros(tshape, dtype=stage_dtype)
-                    _tree_set(host, list(path), buf)
-                buf[layer_idx] = tensor.astype(stage_dtype)
+                if streaming:
+                    buf = _tree_get(host, list(path))
+                    if buf is None:
+                        buf = alloc(tshape, shard_leaf(path))
+                    row = jnp.asarray(np.asarray(tensor.astype(stage_dtype)))
+                    _tree_set(host, list(path), write_row(buf, row, layer_idx))
+                else:
+                    buf = _tree_get(host, list(path))
+                    if buf is None:
+                        buf = np.zeros(tshape, dtype=stage_dtype)
+                        _tree_set(host, list(path), buf)
+                    buf[layer_idx] = tensor.astype(stage_dtype)
                 filled.add(path + (layer_idx,))
             else:
                 if tuple(tensor.shape) != tshape:
                     skipped.append(f"{key} (shape mismatch)")
                     continue
-                # astype(copy=True): never store a view into the shard mmap
-                _tree_set(host, list(path), tensor.astype(stage_dtype))
+                if streaming:
+                    sh = shard_leaf(path)
+                    arr = np.asarray(tensor.astype(stage_dtype))
+                    val = (
+                        jax.device_put(arr, sh).astype(dt)
+                        if sh is not None
+                        else jnp.asarray(arr, dtype=dt)
+                    )
+                    _tree_set(host, list(path), val)
+                else:
+                    # astype(copy=True): never store a view into the shard mmap
+                    _tree_set(host, list(path), tensor.astype(stage_dtype))
                 filled.add(path)
 
     # Fill any missing targets with random init so the model is runnable
     # (reference: load_state_dict(strict=False) leaves them at init).
     init = init_vlm_params(jax.random.PRNGKey(0), config, tie_weights=False)
     missing: List[str] = []
-
-    dt = config.text_config.jnp_dtype
 
     def finalize(ref_node, host_node, init_node, shard_node, path):
         out = {}
@@ -311,12 +373,16 @@ def load_checkpoint_params(
                 if val is None:
                     missing.append(".".join(p))
                     arr = init_node[name].astype(dt)
+                    if sub_shard is not None and not isinstance(sub_shard, dict):
+                        arr = jax.device_put(arr, sub_shard)
+                elif isinstance(val, jax.Array):
+                    arr = val  # streaming path: already on device, already placed
                 else:
                     arr = jnp.asarray(np.asarray(val), dtype=dt)
                     # free the staging buffer as soon as the device copy exists
                     host_node[name] = None
-                if sub_shard is not None and not isinstance(sub_shard, dict):
-                    arr = jax.device_put(arr, sub_shard)
+                    if sub_shard is not None and not isinstance(sub_shard, dict):
+                        arr = jax.device_put(arr, sub_shard)
                 out[name] = arr
         return out
 
@@ -440,6 +506,7 @@ def load_hf_model(
     dtype: str = "bfloat16",
     max_cache_length: int = 2048,
     shardings=None,
+    streaming: bool = False,
 ):
     """Parity: reference ``load_hf_model(model_path, device)`` (utils.py:149-166)
     → ``(MllamaForConditionalGeneration, tokenizer)``, weights tied."""
@@ -453,7 +520,9 @@ def load_hf_model(
     config = build_config_from_hf(
         cfg_dict, tokenizer.pad_token_id, dtype=dtype, max_cache_length=max_cache_length
     )
-    params = load_checkpoint_params(model_path, config, shardings=shardings)
+    params = load_checkpoint_params(
+        model_path, config, shardings=shardings, streaming=streaming
+    )
     model = MllamaForConditionalGeneration(config, params=params)
     model.tie_weights()
     return model, tokenizer

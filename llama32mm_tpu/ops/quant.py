@@ -56,17 +56,30 @@ _QUANT_TARGET_PATHS = (
 )
 
 
-def quantize_llama_params(params: dict, quantize_lm_head: bool = True) -> dict:
+def quantize_llama_params(
+    params: dict, quantize_lm_head: bool = True, free_originals: bool = False
+) -> dict:
     """Quantize the stacked text-decoder linears of a VLM/causal-LM param tree.
 
     Each ``[L, in, out]`` stacked weight becomes ``{"q": int8 [L,in,out],
     "scale": fp32 [L,out]}`` (per-layer per-channel scales). Embeddings,
     norms, and the vision tower are untouched.
+
+    Quantization runs layer-by-layer (``lax.map``) so the fp32 intermediate is
+    one layer, not the whole stack. With ``free_originals=True`` each source
+    bf16 buffer is donated to its quantization call and freed immediately —
+    HBM never holds both full copies (needed to serve int8 on a chip the bf16
+    weights barely fit; the caller's tree is invalidated).
     """
+    donate = free_originals and jax.default_backend() != "cpu"
 
     def q_leaf(w):
         # stacked [L, in, out] → per-layer per-channel quantization
-        return jax.vmap(quantize_weight)(w)
+        fn = jax.jit(
+            lambda w: jax.lax.map(quantize_weight, w),
+            donate_argnums=(0,) if donate else (),
+        )
+        return fn(w)
 
     lm = params.get("language_model", params)
     blocks = lm["model"]["blocks"]

@@ -189,3 +189,71 @@ def test_save_load_roundtrip(tmp_path):
 
     # lm_head exists in both (untied); compare whole tree
     check(params, loaded)
+
+
+def test_streaming_load_matches_host_load(tmp_path):
+    """streaming=True (per-tensor device placement, donated row writes) loads
+    bit-identical params to the host-staged path."""
+    import jax
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(3), cfg, tie_weights=False)
+    save_checkpoint_params(str(tmp_path), params, cfg)
+
+    host = load_checkpoint_params(str(tmp_path), cfg, verbose=False)
+    streamed = load_checkpoint_params(str(tmp_path), cfg, verbose=False, streaming=True)
+
+    h_leaves = {".".join(map(str, p)): l for p, l in _flat(host)}
+    s_leaves = {".".join(map(str, p)): l for p, l in _flat(streamed)}
+    assert h_leaves.keys() == s_leaves.keys()
+    for k in h_leaves:
+        np.testing.assert_array_equal(
+            np.asarray(h_leaves[k], np.float32), np.asarray(s_leaves[k], np.float32),
+            err_msg=k,
+        )
+
+
+def test_streaming_load_sharded(tmp_path):
+    """streaming=True under a dict sharding tree places each target directly
+    in its GSPMD layout (8 virtual CPU devices)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+    from llama32mm_tpu.parallel.mesh import create_mesh
+    from llama32mm_tpu.parallel.sharding import param_shardings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(3), cfg, tie_weights=False)
+    save_checkpoint_params(str(tmp_path), params, cfg)
+
+    mesh = create_mesh(dp=1, tp=2)
+    shard_tree = param_shardings(cfg, mesh, params_like=params)
+    streamed = load_checkpoint_params(
+        str(tmp_path), cfg, shardings=shard_tree, verbose=False, streaming=True
+    )
+
+    w = streamed["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"]
+    assert isinstance(w.sharding, NamedSharding)
+    assert w.sharding.spec == shard_tree["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"].spec
+
+    host = load_checkpoint_params(str(tmp_path), cfg, verbose=False)
+    np.testing.assert_array_equal(
+        np.asarray(w, np.float32),
+        np.asarray(host["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"], np.float32),
+    )
+
+
+def _flat(tree, path=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat(v, path + (k,))
+        elif v is not None:
+            yield path + (k,), v
