@@ -118,6 +118,10 @@ class InferenceEngine:
             cache = init_kv_cache(tc, b, max_length=max_len, dtype=adtype)
 
             prefill_mask = structured_prefill_mask(padding_mask, max_len)
+            # last *valid* position per batch row (right padding); lm_head is
+            # computed only there — the full [B, S, vocab] prefill logits are
+            # never formed (TTFT: saves the S×V matmul + its HBM write).
+            last_pos = jnp.sum(padding_mask, axis=1).astype(jnp.int32) - 1
             out = vlm_forward(
                 params,
                 cfg,
@@ -126,12 +130,9 @@ class InferenceEngine:
                 attention_mask=prefill_mask,
                 kv_cache=cache,
                 impl=impl,
+                logits_positions=last_pos[:, None],
             )
-            # last *valid* position per batch row (right padding)
-            last_pos = jnp.sum(padding_mask, axis=1).astype(jnp.int32) - 1
-            pre_logits = jnp.take_along_axis(
-                out.logits, last_pos[:, None, None], axis=1
-            )[:, 0]  # [B, V]
+            pre_logits = out.logits[:, 0]  # [B, V]
 
             rng, step_rng = jax.random.split(rng)
             first = select_next_token(pre_logits, step_rng, temperature, top_p, top_k)

@@ -113,8 +113,15 @@ def vlm_forward(
     dropout_rng: Optional[jax.Array] = None,
     lora_dropout: float = 0.0,
     impl: str = "auto",
+    logits_positions: Optional[jax.Array] = None,
 ) -> VLMOutput:
-    """Reference ``MllamaForConditionalGeneration.forward`` (``:398-440``)."""
+    """Reference ``MllamaForConditionalGeneration.forward`` (``:398-440``).
+
+    ``logits_positions`` (``[B, k]``, serving fast-path): compute lm_head only
+    at those sequence positions — at prefill the full ``[B, S, vocab]`` logits
+    (~0.4 GB for a 1.6k-token image prompt) are never needed, only the
+    last valid position's row. Incompatible with ``labels``.
+    """
     tc = config.text_config
 
     inputs_embeds = None
@@ -140,7 +147,14 @@ def vlm_forward(
         lora_dropout=lora_dropout,
         impl=impl,
     )
-    logits = lm_head_apply(params["language_model"], tc, out.hidden_states, impl=impl)
+    hidden = out.hidden_states
+    if logits_positions is not None:
+        if labels is not None:
+            raise ValueError("logits_positions is incompatible with labels")
+        hidden = jnp.take_along_axis(
+            hidden, logits_positions[:, :, None].astype(jnp.int32), axis=1
+        )
+    logits = lm_head_apply(params["language_model"], tc, hidden, impl=impl)
 
     loss = None
     if labels is not None:
