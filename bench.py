@@ -27,7 +27,10 @@ from llama32mm_tpu.preprocess.image import preprocess_image_device
 
 MAX_NEW = 64
 PROMPT_TEXT_LEN = 32
-CACHE_LEN = 2048
+# Cache sized to request capacity (prompt 1600+32 + 64 new, rounded up to the
+# 128-lane tile): decode streams the whole cache every step, so dead tail
+# slots are pure HBM waste.
+CACHE_LEN = 1792
 
 # HBM bandwidth per chip (GB/s) for roofline
 _HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v5p": 2765.0, "v4": 1228.0}

@@ -20,7 +20,29 @@ from llama32mm_tpu.utils.kvcache import KVCache, init_kv_cache
 
 __version__ = "0.1.0"
 
+# Lazy top-level re-exports for reference-API ergonomics (the heavy deps —
+# transformers, PIL — load only when the symbol is touched).
+_LAZY_EXPORTS = {
+    "MllamaForConditionalGeneration": "llama32mm_tpu.models.wrapper",
+    "Llama3ForCausalLM": "llama32mm_tpu.models.wrapper",
+    "load_hf_model": "llama32mm_tpu.io.checkpoint",
+    "MllamaImageProcessor": "llama32mm_tpu.preprocess.processor",
+    "Linear_LORA": "llama32mm_tpu.train.lora",
+    "InferenceEngine": "llama32mm_tpu.inference.engine",
+}
+
+
+def __getattr__(name: str):
+    mod = _LAZY_EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'llama32mm_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
 __all__ = [
+    *_LAZY_EXPORTS,
     "LLAMA32Config",
     "MLLAMAConfig",
     "VisionEncoderConfig",

@@ -1,98 +1,90 @@
-"""Split TTFT into phases on the real chip: ViT tower, decoder prefill,
-lm_head, and one decode step — each timed as a lax.scan of N iterations inside
-ONE jit (per-call dispatch through the axon tunnel costs ~100s of ms, and
-block_until_ready can return early; a device→host fetch is the sync point).
+"""Split TTFT into phases on the real chip by differencing engine-level
+programs (a lax.scan over N whole-tower iterations takes >20 min in the
+remote compile service — engine-style programs compile in minutes):
 
-Usage: python scripts/profile_prefill.py [N_ITERS]
+- A: generate(max_new=1) with image           = preprocess+ViT+proj+prefill+lm1
+- B: generate(max_new=1) without image        = prefill+lm1
+- A - B ≈ vision tower + projector.
+- C: full generate(max_new=64): decode steady state.
+
+Timing: p50 of repeats, device→host fetch as the sync point (block_until_ready
+can return early through the axon tunnel).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/profile_prefill.py
 """
 
 from __future__ import annotations
 
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import bench_config, PROMPT_TEXT_LEN, CACHE_LEN
-from llama32mm_tpu.inference.engine import structured_prefill_mask
-from llama32mm_tpu.models.language import llama_forward, lm_head_apply
-from llama32mm_tpu.models.vlm import encode_image, init_vlm_params
-from llama32mm_tpu.utils.kvcache import init_kv_cache
+from bench import CACHE_LEN, PROMPT_TEXT_LEN, bench_config
+from llama32mm_tpu.inference.engine import InferenceEngine
+from llama32mm_tpu.models.vlm import init_vlm_params
+from llama32mm_tpu.preprocess.image import preprocess_image_device
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-
-
-def timed(name, fn, *args):
-    out = fn(*args)  # compile
-    np.asarray(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])
-    dt = (time.perf_counter() - t0) / N
-    print(f"{name:26s} {dt * 1e3:8.2f} ms/iter")
-    return dt
+REPS = 7
 
 
-def scanned(f):
-    """f(x) -> array; returns jit'd N-iteration scan with a data dependency."""
-
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            y = f(x + c.astype(x.dtype) * 0)  # fold carry in: no CSE across iters
-            return jnp.sum(y).astype(jnp.float32), ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=N)
-        return c
-
-    return run
+def p50(f):
+    f()  # compile/warm
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        f()
+        ts.append(time.perf_counter() - t0)
+    return float(np.percentile(ts, 50))
 
 
 def main():
     cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
     tc = cfg.text_config
     params = jax.device_put(init_vlm_params(jax.random.PRNGKey(0), cfg))
+    engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN)
 
     n_img = tc.num_image_tokens
     s = n_img + PROMPT_TEXT_LEN
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, s), 0, tc.vocab_size - 10)
-    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 560, 560), tc.jnp_dtype)
-    padding = jnp.ones((1, s), jnp.int32)
+    ids_img = ids.at[:, :n_img].set(cfg.image_token_index)
+    raw = jax.random.randint(
+        jax.random.PRNGKey(2), (1, 560, 560, 3), 0, 255, jnp.int32
+    ).astype(jnp.uint8)
 
-    # Phase 1: vision tower + projector
-    t_vit = timed("vision+projector", scanned(lambda x: encode_image(params, cfg, x)), px)
+    pre = jax.jit(lambda r: preprocess_image_device(r, 560, tc.jnp_dtype))
 
-    # Phase 2: decoder prefill (embeds precomputed, fresh cache per iter)
-    embeds = params["language_model"]["model"]["tok_emb"]["weight"][ids].astype(tc.jnp_dtype)
-    mask = structured_prefill_mask(padding, CACHE_LEN)
+    def gen(use_img, max_new):
+        px = pre(raw) if use_img else None
+        r = engine.generate(
+            ids_img if use_img else ids, px, max_new_tokens=max_new,
+            temperature=0.0, eos_token_id=-1, rng=jax.random.PRNGKey(0),
+        )
+        np.asarray(r.tokens)
 
-    @jax.jit
-    def prefill_loop(embeds):
-        def body(c, _):
-            cache = init_kv_cache(tc, 1, max_length=CACHE_LEN, dtype=tc.jnp_dtype)
-            out = llama_forward(
-                params["language_model"]["model"], tc,
-                input_embeds=embeds + c.astype(embeds.dtype) * 0,
-                attention_mask=mask, kv_cache=cache,
-            )
-            return jnp.sum(out.hidden_states[:, -1]).astype(jnp.float32), ()
+    t_img1 = p50(lambda: gen(True, 1))
+    print(f"A: image prefill TTFT      {t_img1 * 1e3:8.1f} ms", flush=True)
+    t_txt1 = p50(lambda: gen(False, 1))
+    print(f"B: text-only prefill       {t_txt1 * 1e3:8.1f} ms", flush=True)
+    print(f"A-B: vision tower+proj     {(t_img1 - t_txt1) * 1e3:8.1f} ms", flush=True)
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=N)
-        return c
+    t_full = p50(lambda: gen(True, 64))
+    per_tok = (t_full - t_img1) / 63
+    print(f"C: decode                  {per_tok * 1e3:8.2f} ms/tok ({1 / per_tok:.1f} tok/s)", flush=True)
 
-    t_pre = timed("decoder prefill", prefill_loop, embeds)
-
-    # Phase 3: lm_head over ONE position vs all positions
-    h1 = jax.random.normal(jax.random.PRNGKey(3), (1, 1, tc.hidden_size), tc.jnp_dtype)
-    hS = jax.random.normal(jax.random.PRNGKey(4), (1, s, tc.hidden_size), tc.jnp_dtype)
-    t_lm1 = timed("lm_head [1 pos]", scanned(lambda x: lm_head_apply(params["language_model"], tc, x)), h1)
-    t_lmS = timed(f"lm_head [{s} pos]", scanned(lambda x: lm_head_apply(params["language_model"], tc, x)), hS)
-
+    # compute-bound estimates (v5e ≈ 197 bf16 TFLOP/s dense)
+    vit_flops = 32 * (4 * 1600 * 1280**2 + 4 * 1600**2 * 1280 + 4 * 1600 * 1280 * 5120) * 2 / 2
+    text_params = tc.n_layers * (
+        tc.hidden_size * (tc.n_heads + 2 * tc.n_kv_groups) * tc.head_dim
+        + tc.n_heads * tc.head_dim * tc.hidden_size
+        + 3 * tc.hidden_size * tc.hidden_dim
+    )
+    pre_flops = 2 * s * text_params
     print(
-        f"\nsum(vit + prefill + lm1) = {(t_vit + t_pre + t_lm1) * 1e3:.1f} ms "
-        f"(full-logits prefill would add {(t_lmS - t_lm1) * 1e3:.1f} ms)"
+        f"\ncompute-bound @197T: vit ≈ {vit_flops / 197e12 * 1e3:.1f} ms, "
+        f"decoder prefill ≈ {pre_flops / 197e12 * 1e3:.1f} ms",
+        flush=True,
     )
 
 
