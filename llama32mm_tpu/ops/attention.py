@@ -93,9 +93,15 @@ def gqa_attention(
     impl = resolve_impl(impl)
     tq, tk = q.shape[2], k.shape[2]
 
-    if impl == "xla" or tq == 1:
-        # Decode (Tq == 1) is a batched matvec — XLA handles it at bandwidth;
-        # flash blocking buys nothing there.
+    # Measured on v5e (1632q/1792k, 28-layer tower): XLA's fused dense
+    # attention beats the flash kernel 56.5 ms vs 82.4 ms — materializing the
+    # score matrix is cheap next to the projection matmuls until the context
+    # grows past a few k tokens. Flash takes over where O(Tq·Tk) score memory
+    # becomes the bottleneck (long context — SURVEY §5), and at decode
+    # (Tq == 1) the batched matvec is pure bandwidth either way.
+    use_flash = impl == "pallas" and tq > 1 and tk > 4096
+
+    if not use_flash:
         if mask is None and structured is not None:
             mask = dense_from_structured(structured, tq, tk, q.dtype, causal)
         return _gqa_attention_xla(q, k, v, mask)

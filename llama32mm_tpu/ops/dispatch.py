@@ -34,3 +34,18 @@ def resolve_impl(impl: str = "auto") -> str:
     if impl not in _VALID:
         raise ValueError(f"impl must be one of {_VALID}, got {impl!r}")
     return default_impl() if impl == "auto" else impl
+
+
+def resolve_impl_prefer_xla(impl: str = "auto") -> str:
+    """Per-op resolver for ops where XLA's fusion beats the standalone Pallas
+    kernel at every measured shape (swiglu, add-rmsnorm — v5e): ``auto``
+    resolves to XLA; an explicit argument or the LLAMA32MM_OPS_IMPL env var
+    still forces either backend."""
+    if impl not in _VALID:
+        raise ValueError(f"impl must be one of {_VALID}, got {impl!r}")
+    if impl != "auto":
+        return impl
+    env = os.environ.get("LLAMA32MM_OPS_IMPL", "").strip().lower()
+    if env in ("pallas", "xla"):
+        return env
+    return "xla"

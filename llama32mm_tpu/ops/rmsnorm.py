@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from llama32mm_tpu.ops.dispatch import resolve_impl
+from llama32mm_tpu.ops.dispatch import resolve_impl, resolve_impl_prefer_xla
 
 
 def _rmsnorm_xla(x, weight, eps, residual):
@@ -53,13 +53,11 @@ def fused_add_rmsnorm(
         (the reference's fused "residual highway", ``Model/model.py:271``).
       impl: ``auto`` | ``pallas`` | ``xla``.
     """
-    impl = resolve_impl(impl)
-    rows = 1
-    for d in x.shape[:-1]:
-        rows *= d
-    # Decode-sized inputs (a handful of rows) are pure bandwidth: XLA's fused
-    # elementwise is faster than a padded-tile kernel launch (measured on v5e).
-    if impl == "xla" or rows < 64:
+    # "auto" routes to XLA at every shape: rmsnorm is pure bandwidth and XLA
+    # fuses it into the neighboring matmul prologues; the standalone kernel
+    # only re-streams the activations (measured v5e — see ops/swiglu.py note).
+    # Explicit impl="pallas" / LLAMA32MM_OPS_IMPL still force the kernel.
+    if resolve_impl_prefer_xla(impl) != "pallas":
         return _rmsnorm_xla(x, weight, eps, residual)
     from llama32mm_tpu.ops.pallas.rmsnorm import fused_add_rmsnorm_pallas
 

@@ -54,8 +54,10 @@ def main():
     mask = structured_prefill_mask(padding, CACHE_LEN)
 
     def forward(impl, with_cache):
+        # params as jit ARGUMENTS: captured device trees are serialized as
+        # constants through the remote-compile tunnel (5.6 GB per program).
         @jax.jit
-        def run(embeds):
+        def run(lm, embeds):
             cache = (
                 init_kv_cache(tc, 1, max_length=CACHE_LEN, dtype=tc.jnp_dtype)
                 if with_cache
@@ -67,19 +69,22 @@ def main():
             )
             return out.hidden_states[:, -1]
 
-        return lambda: np.asarray(run(embeds))
+        return lambda: np.asarray(run(lm, embeds))
 
-    print(f"full/pallas+cache   {p50(forward('pallas', True)):8.1f} ms", flush=True)
-    print(f"full/xla+cache      {p50(forward('xla', True)):8.1f} ms", flush=True)
-    print(f"full/pallas nocache {p50(forward('pallas', False)):8.1f} ms", flush=True)
+    import sys
+    only = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if only in ("all", "full"):
+        print(f"full/pallas+cache   {p50(forward('pallas', True)):8.1f} ms", flush=True)
+        print(f"full/xla+cache      {p50(forward('xla', True)):8.1f} ms", flush=True)
+        print(f"full/pallas nocache {p50(forward('pallas', False)):8.1f} ms", flush=True)
 
     blocks = lm["blocks"]
 
     def ffn_tower(impl):
         @jax.jit
-        def run(x):
+        def run(blocks, x):
             def layer(h, lp):
-                normed = fused_add_rmsnorm(h, lp["norm2"]["weight"], eps=tc.rms_norm_eps, impl=impl)[0]
+                normed = fused_add_rmsnorm(h, lp["norm2"]["weight"], eps=tc.rms_norm_eps, impl=impl)
                 y = fused_swiglu(
                     normed, lp["ff"]["swiglu"]["w_gate"], lp["ff"]["swiglu"]["w_up"], impl=impl
                 )
@@ -88,18 +93,19 @@ def main():
             h, _ = jax.lax.scan(layer, x, blocks)
             return h[:, -1]
 
-        return lambda: np.asarray(run(embeds))
+        return lambda: np.asarray(run(blocks, embeds))
 
-    print(f"ffn-tower/pallas    {p50(ffn_tower('pallas')):8.1f} ms", flush=True)
-    print(f"ffn-tower/xla       {p50(ffn_tower('xla')):8.1f} ms", flush=True)
+    if only in ("all", "ffn"):
+        print(f"ffn-tower/pallas    {p50(ffn_tower('pallas')):8.1f} ms", flush=True)
+        print(f"ffn-tower/xla       {p50(ffn_tower('xla')):8.1f} ms", flush=True)
 
     def attn_tower(impl):
         nq, nkv, hd = tc.n_heads, tc.n_kv_groups, tc.head_dim
 
         @jax.jit
-        def run(x):
+        def run(blocks, x):
             def layer(h, lp):
-                normed = fused_add_rmsnorm(h, lp["norm1"]["weight"], eps=tc.rms_norm_eps, impl=impl)[0]
+                normed = fused_add_rmsnorm(h, lp["norm1"]["weight"], eps=tc.rms_norm_eps, impl=impl)
                 b, t, _ = normed.shape
                 q = jnp.matmul(normed, lp["att"]["W_query"]["weight"]).reshape(b, t, nq, hd).transpose(0, 2, 1, 3)
                 k = jnp.matmul(normed, lp["att"]["W_key"]["weight"]).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -111,10 +117,11 @@ def main():
             h, _ = jax.lax.scan(layer, x, blocks)
             return h[:, -1]
 
-        return lambda: np.asarray(run(embeds))
+        return lambda: np.asarray(run(blocks, embeds))
 
-    print(f"attn-tower/pallas   {p50(attn_tower('pallas')):8.1f} ms", flush=True)
-    print(f"attn-tower/xla      {p50(attn_tower('xla')):8.1f} ms", flush=True)
+    if only in ("all", "attn"):
+        print(f"attn-tower/pallas   {p50(attn_tower('pallas')):8.1f} ms", flush=True)
+        print(f"attn-tower/xla      {p50(attn_tower('xla')):8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
