@@ -2,8 +2,9 @@
 fp32-parity path; the reference has no quantization).
 
 ``quantize_weight`` produces symmetric per-output-channel int8 + fp32 scales;
-``qlinear`` dispatches to the Pallas dequant-in-VMEM matmul on TPU (the
-bandwidth win is the point) and a plain dequantized matmul elsewhere.
+``qlinear`` computes ``x @ dequant(w)`` via XLA's convert-into-dot fusion
+(measured fastest on v5e — see the qlinear docstring), with the Pallas
+dequant-in-VMEM kernel available by explicit request.
 ``quantize_llama_params`` rewrites the text-decoder linears of a param tree in
 place; norms, embeddings, and the vision tower stay in the float dtype.
 """
@@ -15,7 +16,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from llama32mm_tpu.ops.dispatch import resolve_impl
+from llama32mm_tpu.ops.dispatch import resolve_impl, resolve_impl_prefer_xla
 
 
 def quantize_weight(w: jax.Array) -> dict:
@@ -36,8 +37,13 @@ def is_quantized(leaf) -> bool:
 
 
 def qlinear(x: jax.Array, qw: dict, impl: str = "auto") -> jax.Array:
-    """``x @ dequant(qw)`` with the dequant fused into the matmul."""
-    if resolve_impl(impl) == "pallas":
+    """``x @ dequant(qw)`` with the dequant fused into the matmul.
+
+    "auto" routes to XLA: its convert-into-dot fusion streams the int8
+    weights without materializing the bf16 copy and measured 177 tok/s vs
+    125 for the standalone Pallas kernel on the full int8 decode (v5e, 3B).
+    Explicit impl="pallas" / LLAMA32MM_OPS_IMPL still force the kernel."""
+    if resolve_impl_prefer_xla(impl) == "pallas":
         from llama32mm_tpu.ops.pallas.quant_matmul import int8_matmul_pallas
 
         return int8_matmul_pallas(x, qw["q"], qw["scale"])
