@@ -85,6 +85,11 @@ def main() -> None:
 
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
+    # Serving-fused projections (one QKV / one gate-up matmul per layer);
+    # rebinding drops the unfused decoder weights.
+    from llama32mm_tpu.models.fuse import fuse_decoder_params
+
+    params = fuse_decoder_params(params, tc)
 
     n_img = tc.num_image_tokens
     s = n_img + PROMPT_TEXT_LEN

@@ -144,6 +144,25 @@ def _linear(x, weight, lora=None, dropout_rng=None, dropout_rate=0.0, impl="auto
     return _maybe_lora(x, out, lora, dropout_rng, dropout_rate)
 
 
+def _fused_linear(x, fused, impl="auto"):
+    """``x [.., H] @ fused [H, tp, C] → [.., tp, C]`` (models/fuse.py layout);
+    handles float and int8-quantized fused weights."""
+    from llama32mm_tpu.ops.quant import is_quantized, qlinear
+
+    # quantize-then-fuse gives {"q","scale"} directly; fuse-then-quantize
+    # leaves it wrapped under "weight".
+    inner = fused if is_quantized(fused) else fused["weight"]
+    if is_quantized(inner):
+        h_dim, tp, c = inner["q"].shape
+        out = qlinear(
+            x,
+            {"q": inner["q"].reshape(h_dim, tp * c), "scale": inner["scale"].reshape(tp * c)},
+            impl=impl,
+        )
+        return out.reshape(*x.shape[:-1], tp, c)
+    return jax.lax.dot_general(x, inner, (((x.ndim - 1,), (0,)), ((), ())))
+
+
 # ---------------------------------------------------------------------------
 # Mask / position preparation (parity: Model/model.py:304-326)
 # ---------------------------------------------------------------------------
@@ -229,9 +248,23 @@ def _block_forward(
     # norm1 → attention
     normed = fused_add_rmsnorm(h, layer_params["norm1"]["weight"], config.rms_norm_eps, impl=impl)
 
-    q = _linear(normed, att_p["W_query"]["weight"], lora_for("W_query"), rng_for("W_query"), dr, impl)
-    k = _linear(normed, att_p["W_key"]["weight"], lora_for("W_key"), rng_for("W_key"), dr, impl)
-    v = _linear(normed, att_p["W_value"]["weight"], lora_for("W_value"), rng_for("W_value"), dr, impl)
+    if "W_qkv" in att_p:
+        # Fused projection (models/fuse.py): one [H, tp, chunk] matmul; each
+        # tp chunk holds [q_s | k_s | v_s] so slicing before the head reshape
+        # restores natural head order. Bitwise-identical to three matmuls.
+        qkv = _fused_linear(normed, att_p["W_qkv"], impl)  # [b, t, tp, chunk]
+        tp = qkv.shape[2]
+        nqs, nks = (nq // tp) * hd, (nkv // tp) * hd
+        q = qkv[..., :nqs].reshape(b, t, nq * hd)
+        k = qkv[..., nqs : nqs + nks].reshape(b, t, nkv * hd)
+        v = qkv[..., nqs + nks :].reshape(b, t, nkv * hd)
+        q = _maybe_lora(normed, q, lora_for("W_query"), rng_for("W_query"), dr)
+        k = _maybe_lora(normed, k, lora_for("W_key"), rng_for("W_key"), dr)
+        v = _maybe_lora(normed, v, lora_for("W_value"), rng_for("W_value"), dr)
+    else:
+        q = _linear(normed, att_p["W_query"]["weight"], lora_for("W_query"), rng_for("W_query"), dr, impl)
+        k = _linear(normed, att_p["W_key"]["weight"], lora_for("W_key"), rng_for("W_key"), dr, impl)
+        v = _linear(normed, att_p["W_value"]["weight"], lora_for("W_value"), rng_for("W_value"), dr, impl)
     q = q.reshape(b, t, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -260,13 +293,25 @@ def _block_forward(
     normed_ff = fused_add_rmsnorm(
         attn_out, layer_params["norm2"]["weight"], config.rms_norm_eps, residual=h, impl=impl
     )
-    sw = ff_p["swiglu"]
     from llama32mm_tpu.ops.quant import is_quantized
 
     has_gateup_lora = lora is not None and (
         lora_for("w_gate") is not None or lora_for("w_up") is not None
     )
-    if is_quantized(sw["w_gate"]) or has_gateup_lora:
+    if "w_gateup" in ff_p:
+        # Fused gate|up projection (models/fuse.py): per tp chunk
+        # [gate_s | up_s]; slice → natural channel order.
+        gu = _fused_linear(normed_ff, ff_p["w_gateup"], impl)  # [b, t, tp, 2I/tp]
+        tp = gu.shape[2]
+        half = gu.shape[-1] // 2
+        inter_dim = half * tp
+        gate = gu[..., :half].reshape(b, t, inter_dim)
+        up = gu[..., half:].reshape(b, t, inter_dim)
+        gate = _maybe_lora(normed_ff, gate, lora_for("w_gate"), rng_for("w_gate"), dr)
+        up = _maybe_lora(normed_ff, up, lora_for("w_up"), rng_for("w_up"), dr)
+        inter = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(gate.dtype)
+    elif is_quantized(ff_p["swiglu"]["w_gate"]) or has_gateup_lora:
+        sw = ff_p["swiglu"]
         # Quantized gate/up stream through the int8 dequant matmul; LoRA
         # deltas on gate/up recompose the activation exactly (silu(g+Δg)·(u+Δu)
         # isn't a delta on `inter`), so both cases use the explicit form.
@@ -274,6 +319,7 @@ def _block_forward(
         up = _linear(normed_ff, sw["w_up"], lora_for("w_up"), rng_for("w_up"), dr, impl)
         inter = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(gate.dtype)
     else:
+        sw = ff_p["swiglu"]
         inter = fused_swiglu(
             normed_ff,
             sw["w_gate"],

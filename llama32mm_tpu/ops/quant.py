@@ -59,6 +59,9 @@ _QUANT_TARGET_PATHS = (
     ("ff", "swiglu", "w_gate"),
     ("ff", "swiglu", "w_up"),
     ("ff", "w_down", "weight"),
+    # serving-fused layout (models/fuse.py) — [L, H, tp, chunk]
+    ("att", "W_qkv", "weight"),
+    ("ff", "w_gateup", "weight"),
 )
 
 

@@ -50,6 +50,24 @@ def text_block_shardings(mesh: Mesh) -> dict:
     }
 
 
+def fused_block_shardings(mesh: Mesh) -> dict:
+    """Shardings for serving-fused blocks (models/fuse.py): fused weights are
+    [L, H, tp, chunk] with the tp axis at dim 2."""
+    base = text_block_shardings(mesh)
+    return {
+        "norm1": base["norm1"],
+        "norm2": base["norm2"],
+        "att": {
+            "W_qkv": {"weight": _ns(mesh, None, None, AXIS_TP, None)},
+            "out_proj": base["att"]["out_proj"],
+        },
+        "ff": {
+            "w_gateup": {"weight": _ns(mesh, None, None, AXIS_TP, None)},
+            "w_down": base["ff"]["w_down"],
+        },
+    }
+
+
 def param_shardings(config: MLLAMAConfig, mesh: Mesh, params_like: Optional[dict] = None) -> dict:
     """Sharding tree matching ``init_vlm_params`` structure."""
     lm = {
@@ -67,6 +85,8 @@ def param_shardings(config: MLLAMAConfig, mesh: Mesh, params_like: Optional[dict
         tree["vision_model"] = _replicate_tree(params_like["vision_model"], mesh)
         if params_like["language_model"]["lm_head"]["weight"] is None:
             tree["language_model"]["lm_head"] = {"weight": None}
+        if "W_qkv" in params_like["language_model"]["model"]["blocks"]["att"]:
+            lm["blocks"] = fused_block_shardings(mesh)
     else:
         # structural placeholder; callers with concrete params should pass them
         from llama32mm_tpu.models.vision import init_vision_params
@@ -113,11 +133,17 @@ def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
         if p is None:
             return None
         if is_quantized(p):
+            if isinstance(s, dict) and isinstance(s.get("weight"), NamedSharding):
+                s = s["weight"]  # quantized leaf replaced the {"weight": ...} node
             pspec = tuple(s.spec) if isinstance(s, NamedSharding) else ()
-            out_axis = pspec[-1] if pspec else None
-            if p["q"].ndim == 3:  # stacked [L, in, out]
+            if p["q"].ndim == 4:  # fused [L, in, tp, chunk] — scale [L, tp, chunk]
+                tp_axis = pspec[2] if len(pspec) > 2 else None
+                scale_sh = _ns(mesh, None, tp_axis, None)
+            elif p["q"].ndim == 3:  # stacked [L, in, out]
+                out_axis = pspec[-1] if pspec else None
                 scale_sh = _ns(mesh, None, out_axis)
             else:  # [in, out]
+                out_axis = pspec[-1] if pspec else None
                 scale_sh = _ns(mesh, out_axis)
             return {
                 "q": jax.device_put(p["q"], s),
