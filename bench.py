@@ -27,9 +27,10 @@ from llama32mm_tpu.preprocess.image import preprocess_image_device
 
 MAX_NEW = 64
 PROMPT_TEXT_LEN = 32
-# Cache sized to request capacity (prompt 1600+32 + 64 new, rounded up to the
-# 128-lane tile): decode streams the whole cache every step, so dead tail
-# slots are pure HBM waste.
+# Cache sized to request capacity rounded UP to the 128-lane tile (the cache
+# seq axis is the minor dim of the decode score matrix — 1696 measured slower
+# than 1792 despite streaming less KV, because ragged lane tiles cost more
+# than the 96 dead slots; dead tail beyond that is pure HBM waste).
 CACHE_LEN = 1792
 
 # HBM bandwidth per chip (GB/s) for roofline
