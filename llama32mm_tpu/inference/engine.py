@@ -193,15 +193,18 @@ class InferenceEngine:
     ) -> GenerateResult:
         input_ids = jnp.asarray(input_ids)
         b, s = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), dtype=jnp.int32)
+        else:
+            attention_mask = jnp.asarray(attention_mask)
+        # (Measured: padding the prompt to the 128 M-tile boundary wins ~15%
+        # on isolated prefill matmuls but nothing end-to-end — not worth the
+        # decode-position semantics shift. See scripts/bench_matmul_peak.py.)
         if s + max_new_tokens > self.max_cache_length:
             raise ValueError(
                 f"prompt ({s}) + max_new_tokens ({max_new_tokens}) exceeds KV cache "
                 f"capacity {self.max_cache_length}"
             )
-        if attention_mask is None:
-            attention_mask = jnp.ones((b, s), dtype=jnp.int32)
-        else:
-            attention_mask = jnp.asarray(attention_mask)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         use_image = pixel_values is not None
         key = (max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image)

@@ -176,3 +176,4 @@ def test_filter_logits_matches_reference_rule():
     finite_mask = np.isfinite(expected)
     np.testing.assert_array_equal(np.isfinite(got), finite_mask)
     np.testing.assert_allclose(got[finite_mask], expected[finite_mask], atol=1e-5)
+
