@@ -26,6 +26,7 @@ from llama32mm_tpu.models.vlm import init_vlm_params
 from llama32mm_tpu.preprocess.image import preprocess_image_device
 
 MAX_NEW = 64
+SHORT_NEW = 16
 PROMPT_TEXT_LEN = 32
 # Cache sized to request capacity rounded UP to the 128-lane tile (the cache
 # seq axis is the minor dim of the decode score matrix — 1696 measured slower
@@ -119,26 +120,29 @@ def main() -> None:
         # backends where block_until_ready can return early.
         return np.asarray(res.tokens)
 
-    # Warmup / compile both program shapes.
+    def timed_runs(max_new, reps):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(run(max_new))
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(ts, 50))
+
+    # Warmup / compile all program shapes.
     fetch(run(1))
+    fetch(run(SHORT_NEW))
     fetch(run(MAX_NEW))
 
     # TTFT: preprocess + prefill + first token (max_new=1 program).
-    ttfts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fetch(run(1))
-        ttfts.append(time.perf_counter() - t0)
-    ttft_p50 = float(np.percentile(ttfts, 50))
+    ttft_p50 = timed_runs(1, 5)
 
-    # Full generate; decode rate = (total - ttft) / (MAX_NEW - 1).
-    totals = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fetch(run(MAX_NEW))
-        totals.append(time.perf_counter() - t0)
-    total_p50 = float(np.percentile(totals, 50))
-    decode_tps = (MAX_NEW - 1) / max(total_p50 - ttft_p50, 1e-9)
+    # Decode rate from the difference of two full generates (same program
+    # family, prefill cost cancels) — subtracting the separate TTFT program
+    # is less robust to tunnel timing noise (one outlier sample once produced
+    # an impossible 3.6x-roofline reading).
+    t_short = timed_runs(SHORT_NEW, 5)
+    t_long = timed_runs(MAX_NEW, 5)
+    decode_tps = (MAX_NEW - SHORT_NEW) / max(t_long - t_short, 1e-9)
 
     mean_ctx = s + MAX_NEW // 2
     roofline = decode_roofline_tokens_per_sec(cfg, mean_ctx, hbm_gbps)
@@ -161,20 +165,19 @@ def main() -> None:
             rng=jax.random.PRNGKey(0),
         )
 
-    np.asarray(qrun(1).tokens)
+    def q_timed(max_new, reps):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(qrun(max_new).tokens)
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(ts, 50))
+
+    np.asarray(qrun(SHORT_NEW).tokens)
     np.asarray(qrun(MAX_NEW).tokens)
-    q_ttfts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(qrun(1).tokens)
-        q_ttfts.append(time.perf_counter() - t0)
-    q_totals = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(qrun(MAX_NEW).tokens)
-        q_totals.append(time.perf_counter() - t0)
-    q_ttft = float(np.percentile(q_ttfts, 50))
-    q_decode_tps = (MAX_NEW - 1) / max(float(np.percentile(q_totals, 50)) - q_ttft, 1e-9)
+    q_short = q_timed(SHORT_NEW, 5)
+    q_long = q_timed(MAX_NEW, 5)
+    q_decode_tps = (MAX_NEW - SHORT_NEW) / max(q_long - q_short, 1e-9)
 
     print(
         json.dumps(
