@@ -87,11 +87,9 @@ def main() -> None:
 
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
-    # Serving-fused projections (one QKV / one gate-up matmul per layer);
-    # rebinding drops the unfused decoder weights.
-    from llama32mm_tpu.models.fuse import fuse_decoder_params
-
-    params = fuse_decoder_params(params, tc)
+    # (Serving fusion — models/fuse.py — measured a wash at decode and +3 ms
+    # TTFT on 1 chip via scripts/bench_fuse_ab.py, so the bench serves the
+    # unfused layout; fusion stays available for multi-chip serving.)
 
     n_img = tc.num_image_tokens
     s = n_img + PROMPT_TEXT_LEN

@@ -80,10 +80,6 @@ def run_custom_inference(args: argparse.Namespace) -> str:
 
     prompt_len = inputs["input_ids"].shape[1]
     cache_len = prompt_len + args.max_new_tokens
-    # Serving-fused projections; rebind so unfused decoder weights free.
-    from llama32mm_tpu.models.fuse import fuse_decoder_params
-
-    model.params = fuse_decoder_params(model.params, model.config.text_config)
     engine = InferenceEngine(model.params, model.config, max_cache_length=cache_len)
 
     result = engine.generate(
