@@ -158,3 +158,46 @@ def test_sharded_int8_forward_matches(tiny, batch):
     logits = fwd(sharded, batch["input_ids"], batch["pixel_values"])
     np.testing.assert_allclose(np.asarray(logits), np.asarray(out_ref.logits),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_90b_layout_shards_evenly():
+    """BASELINE config #5: every decoder weight of the real 90B config must
+    divide evenly over the v5p-16 (dp=2, tp=8) TP layout — eval_shape only,
+    no memory. Catches axis/size mismatches in the sharding rules."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from llama32mm_tpu.configs import llama32_90b_vision_config
+    from llama32mm_tpu.models.vlm import init_vlm_params
+    from llama32mm_tpu.parallel.mesh import create_mesh
+    from llama32mm_tpu.parallel.sharding import param_shardings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = llama32_90b_vision_config()
+    shapes = jax.eval_shape(
+        lambda k: init_vlm_params(k, cfg, tie_weights=False), jax.random.PRNGKey(0)
+    )
+    mesh = create_mesh(dp=1, tp=8)
+    tree = param_shardings(cfg, mesh, params_like=shapes)
+
+    def walk(s_node, p_node, path):
+        for k, p in p_node.items():
+            s = s_node[k] if isinstance(s_node, dict) else s_node
+            q = f"{path}.{k}"
+            if isinstance(p, dict):
+                walk(s, p, q)
+            elif p is not None and isinstance(s, NamedSharding):
+                spec = tuple(s.spec) + (None,) * (len(p.shape) - len(tuple(s.spec)))
+                for dim, axis in zip(p.shape, spec):
+                    if axis is None:
+                        continue
+                    size = mesh.shape[axis] if isinstance(axis, str) else 1
+                    assert dim % size == 0, f"{q}: dim {dim} not divisible by {axis}={size}"
+
+    walk(tree, shapes, "")
+
+    # fused serving layout too (tp must divide heads/kv/intermediate)
+    tc = cfg.text_config
+    assert tc.n_heads % 8 == 0 and tc.n_kv_groups % 8 == 0 and tc.hidden_dim % 8 == 0
