@@ -14,6 +14,7 @@ image preprocess from raw uint8 pixels — the second north-star metric).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -73,6 +74,41 @@ def decode_roofline_tokens_per_sec(cfg: MLLAMAConfig, mean_ctx: int, hbm_gbps: f
     kv = tc.n_layers * 2 * tc.n_kv_groups * tc.head_dim * mean_ctx
     step_bytes = (weights + kv) * bytes_per_el
     return hbm_gbps * 1e9 / step_bytes
+
+
+def batched_throughput(cfg, params, raw, preprocess, batch: int = 8) -> float:
+    """Aggregate decode throughput with a batch of concurrent sequences —
+    the serving-scale secondary metric (weights stream once per step
+    regardless of batch). Enabled with BENCH_BATCH=1 (adds ~2 compiles)."""
+    tc = cfg.text_config
+    n_img = tc.num_image_tokens
+    s = n_img + PROMPT_TEXT_LEN
+    ids = jax.random.randint(jax.random.PRNGKey(3), (batch, s), 0, tc.vocab_size - 10)
+    ids = ids.at[:, :n_img].set(cfg.image_token_index)
+    px = jnp.broadcast_to(preprocess(raw), (batch, 3, 560, 560))
+    engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN)
+
+    def run(max_new):
+        return np.asarray(
+            engine.generate(
+                ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1,
+                rng=jax.random.PRNGKey(0),
+            ).tokens
+        )
+
+    run(SHORT_NEW)
+    run(MAX_NEW)
+
+    def p50(max_new):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(max_new)
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(ts, 50))
+
+    per_seq = (MAX_NEW - SHORT_NEW) / max(p50(MAX_NEW) - p50(SHORT_NEW), 1e-9)
+    return per_seq * batch
 
 
 def main() -> None:
@@ -142,6 +178,10 @@ def main() -> None:
     t_long = timed_runs(MAX_NEW, 5)
     decode_tps = (MAX_NEW - SHORT_NEW) / max(t_long - t_short, 1e-9)
 
+    batch_tps = None
+    if os.environ.get("BENCH_BATCH"):
+        batch_tps = batched_throughput(cfg, params, raw, preprocess, batch=8)
+
     mean_ctx = s + MAX_NEW // 2
     roofline = decode_roofline_tokens_per_sec(cfg, mean_ctx, hbm_gbps)
     # Effective HBM rate the decode actually sustains (bytes it must stream
@@ -197,6 +237,7 @@ def main() -> None:
                 "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
                 "int8_decode_tokens_per_sec": round(q_decode_tps, 2),
                 "int8_vs_bf16_roofline": round(q_decode_tps / roofline, 4),
+                **({"batch8_decode_tokens_per_sec": round(batch_tps, 1)} if batch_tps else {}),
                 "config": "llama3.2-3B-text+ViT-H/14@560, bf16, 1 chip",
                 "backend": backend,
                 "device_kind": kind,
