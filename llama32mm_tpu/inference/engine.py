@@ -99,11 +99,17 @@ class InferenceEngine:
         max_cache_length: Optional[int] = None,
         impl: str = "auto",
         donate_cache: bool = True,
+        kv_dtype: Optional[str] = None,
     ):
+        """``kv_dtype="int8"`` enables the quantized KV cache serving mode
+        (int8 slots + per-position scales folded into attention — halves
+        cache HBM traffic and capacity; slightly lossy, off the parity
+        path)."""
         self.params = params
         self.config = config
         self.max_cache_length = max_cache_length or config.text_config.max_cache_length
         self.impl = impl
+        self.kv_dtype = kv_dtype
         self._generate_jit = {}
 
     def _make_generate(self, max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image):
@@ -112,9 +118,11 @@ class InferenceEngine:
         max_len = self.max_cache_length
         impl = self.impl
 
+        kv_dtype = self.kv_dtype
+
         def generate_fn(params, input_ids, pixel_values, padding_mask, rng):
             b, s = input_ids.shape
-            adtype = tc.jnp_dtype
+            adtype = jnp.int8 if kv_dtype == "int8" else tc.jnp_dtype
             cache = init_kv_cache(tc, b, max_length=max_len, dtype=adtype)
 
             prefill_mask = structured_prefill_mask(padding_mask, max_len)

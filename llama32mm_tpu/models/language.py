@@ -225,6 +225,8 @@ def _block_forward(
     structured: Optional[AttnMask],
     k_all: Optional[jax.Array],  # [L, B, n_kv, S_max, hd] full stacked cache
     v_all: Optional[jax.Array],
+    ks_all: Optional[jax.Array],  # [L, B, n_kv, S_max] int8-mode fp32 scales
+    vs_all: Optional[jax.Array],
     layer_idx: Optional[jax.Array],
     cache_pos: Optional[jax.Array],
     lora: Optional[dict],
@@ -271,21 +273,45 @@ def _block_forward(
 
     q, k = apply_rotary_pos_emb(q, k, cos, sin)
 
+    k_scale = v_scale = None
     if k_all is not None:
         # Post-RoPE keys cached (parity: Model/model.py:243-246). The cache
         # rides the layer-scan CARRY and is updated with a single-token
         # dynamic_update_slice — XLA keeps the buffer in place across the
         # decode loop instead of allocating a fresh cache per step.
+        if ks_all is not None:
+            # int8 KV serving mode: quantize per position; the scale algebra
+            # folds into the attention scores/weights (ops/attention.py).
+            from llama32mm_tpu.utils.kvcache import quantize_kv
+
+            k_w, ks_new = quantize_kv(k)
+            v_w, vs_new = quantize_kv(v)
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, ks_new[None], (layer_idx, 0, 0, cache_pos)
+            )
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vs_new[None], (layer_idx, 0, 0, cache_pos)
+            )
+            k_scale = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
+        else:
+            k_w, v_w = k, v
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None].astype(k_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
+            k_all, k_w[None].astype(k_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
         )
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None].astype(v_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
+            v_all, v_w[None].astype(v_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
         )
-        k = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False).astype(q.dtype)
-        v = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False).astype(q.dtype)
+        k = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
+        if ks_all is None:
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
 
-    attn = gqa_attention(q, k, v, mask=mask, structured=structured, impl=impl)
+    attn = gqa_attention(
+        q, k, v, mask=mask, structured=structured, impl=impl,
+        k_scale=k_scale, v_scale=v_scale,
+    )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * hd)
     attn_out = _linear(attn, att_p["out_proj"]["weight"], lora_for("out_proj"), rng_for("out_proj"), dr, impl)
 
@@ -333,7 +359,7 @@ def _block_forward(
     # Residual-stream drop (parity, SURVEY §2.9 #2): return attn_out + ff_out;
     # the block input h is NOT added back.
     out = attn_out + ff_out
-    return out, k_all, v_all
+    return out, k_all, v_all, ks_all, vs_all
 
 
 def llama_forward(
@@ -427,23 +453,32 @@ def llama_forward(
     layer_ids = jnp.arange(config.n_layers, dtype=jnp.int32) if has_cache else None
 
     def body(carry, xs):
-        h, k_all, v_all = carry
+        h, k_all, v_all, ks_all, vs_all = carry
         layer_params, lora_l, rngs_l, layer_idx = xs
         dropout_rngs = None
         if rngs_l is not None:
             names = ("W_query", "W_key", "W_value", "out_proj", "w_gate", "w_up", "w_down")
             dropout_rngs = {n: rngs_l[i] for i, n in enumerate(names)}
-        out, k_all, v_all = _block_forward(
+        out, k_all, v_all, ks_all, vs_all = _block_forward(
             h, layer_params, config, cos, sin, mask, structured, k_all, v_all,
-            layer_idx, cache_pos, lora_l, dropout_rngs, impl, lora_dropout,
+            ks_all, vs_all, layer_idx, cache_pos, lora_l, dropout_rngs, impl,
+            lora_dropout,
         )
-        return (out, k_all, v_all), None
+        return (out, k_all, v_all, ks_all, vs_all), None
 
-    carry = (h, kv_cache.k if has_cache else None, kv_cache.v if has_cache else None)
+    carry = (
+        h,
+        kv_cache.k if has_cache else None,
+        kv_cache.v if has_cache else None,
+        kv_cache.k_scale if has_cache else None,
+        kv_cache.v_scale if has_cache else None,
+    )
     xs = (blocks, lora_blocks, layer_rngs, layer_ids)
-    (h, new_k, new_v), _ = jax.lax.scan(body, carry, xs)
+    (h, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(body, carry, xs)
     new_cache = (
-        KVCache(k=new_k, v=new_v, pos=kv_cache.pos + t) if has_cache else None
+        KVCache(k=new_k, v=new_v, pos=kv_cache.pos + t, k_scale=new_ks, v_scale=new_vs)
+        if has_cache
+        else None
     )
 
     h = fused_add_rmsnorm(h, params["final_norm"]["weight"], config.rms_norm_eps, impl=impl)

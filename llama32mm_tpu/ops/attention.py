@@ -56,17 +56,26 @@ def dense_from_structured(
     return add
 
 
-def _gqa_attention_xla(q, k, v, mask):
+def _gqa_attention_xla(q, k, v, mask, k_scale=None, v_scale=None):
     b, n_q, t_q, hd = q.shape
     n_kv = k.shape[1]
     group = n_q // n_kv
     qg = q.reshape(b, n_kv, group, t_q, hd)
-    scores = jnp.einsum("bkgqd,bkTd->bkgqT", qg, k)
+    scores = jnp.einsum("bkgqd,bkTd->bkgqT", qg, k.astype(q.dtype))
+    if k_scale is not None:
+        # int8 KV: per-position key scale commutes out of the dot —
+        # q·(k_q·s) == (q·k_q)·s; applied BEFORE the additive mask so masked
+        # slots keep the reference's exact -inf/finfo.min semantics.
+        scores = (scores.astype(jnp.float32) * k_scale[:, :, None, None, :]).astype(scores.dtype)
     if mask is not None:
         scores = scores + mask[:, :, None, :, :]
     scale = jnp.asarray(hd, scores.dtype) ** 0.5
     weights = jax.nn.softmax(scores / scale, axis=-1)
-    ctx = jnp.einsum("bkgqT,bkTd->bkgqd", weights, v)
+    if v_scale is not None:
+        # fold the per-position value scale into the attention weights:
+        # Σ w·(v_q·s) == Σ (w·s)·v_q
+        weights = (weights.astype(jnp.float32) * v_scale[:, :, None, None, :]).astype(weights.dtype)
+    ctx = jnp.einsum("bkgqT,bkTd->bkgqd", weights, v.astype(q.dtype))
     return ctx.reshape(b, n_q, t_q, hd)
 
 
@@ -78,6 +87,8 @@ def gqa_attention(
     structured: Optional[AttnMask] = None,
     causal: bool = True,
     impl: str = "auto",
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Grouped-query attention with mask-then-scale softmax.
 
@@ -99,12 +110,12 @@ def gqa_attention(
     # grows past a few k tokens. Flash takes over where O(Tq·Tk) score memory
     # becomes the bottleneck (long context — SURVEY §5), and at decode
     # (Tq == 1) the batched matvec is pure bandwidth either way.
-    use_flash = impl == "pallas" and tq > 1 and tk > 4096
+    use_flash = impl == "pallas" and tq > 1 and tk > 4096 and k_scale is None
 
     if not use_flash:
         if mask is None and structured is not None:
             mask = dense_from_structured(structured, tq, tk, q.dtype, causal)
-        return _gqa_attention_xla(q, k, v, mask)
+        return _gqa_attention_xla(q, k, v, mask, k_scale, v_scale)
 
     if structured is None:
         if mask is not None:

@@ -113,6 +113,8 @@ def kv_cache_sharding(mesh: Mesh):
         k=_ns(mesh, None, AXIS_DP, AXIS_TP, None, None),
         v=_ns(mesh, None, AXIS_DP, AXIS_TP, None, None),
         pos=_ns(mesh),
+        k_scale=_ns(mesh, None, AXIS_DP, AXIS_TP, None),
+        v_scale=_ns(mesh, None, AXIS_DP, AXIS_TP, None),
     )
 
 

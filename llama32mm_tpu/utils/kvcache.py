@@ -23,13 +23,24 @@ from llama32mm_tpu.configs import LLAMA32Config
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, n_kv, S_max, hd]
+    k: jax.Array  # [L, B, n_kv, S_max, hd] — float, or int8 (quantized mode)
     v: jax.Array  # [L, B, n_kv, S_max, hd]
     pos: jax.Array  # int32 scalar: number of valid entries
+    # int8 serving mode: per-(layer, batch, head, position) fp32 scales.
+    # The scale algebra folds into attention without materializing a
+    # dequantized cache: scores ← (q·k_q) · k_scale[pos] (the per-position
+    # scale commutes out of the dot), and v_scale folds into the attention
+    # weights before the PV product.
+    k_scale: Optional[jax.Array] = None  # [L, B, n_kv, S_max] fp32
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_length(self) -> int:
         return self.k.shape[-2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     def num_items(self) -> jax.Array:
         """Number of valid cached positions (parity: KVCache.num_items)."""
@@ -45,14 +56,29 @@ def init_kv_cache(
     max_length: Optional[int] = None,
     dtype=None,
 ) -> KVCache:
+    """``dtype=jnp.int8`` allocates the quantized serving cache (int8 slots +
+    fp32 per-position scales — halves cache HBM traffic and capacity)."""
     max_length = max_length or config.max_cache_length
     dtype = dtype or config.jnp_dtype
     shape = (config.n_layers, batch_size, config.n_kv_groups, max_length, config.head_dim)
+    quantized = jnp.dtype(dtype) == jnp.int8
     return KVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
         pos=jnp.zeros((), dtype=jnp.int32),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32) if quantized else None,
+        v_scale=jnp.zeros(shape[:-1], jnp.float32) if quantized else None,
     )
+
+
+def quantize_kv(x: jax.Array):
+    """[..., hd] float → (int8 [..., hd], fp32 scale [...]) — symmetric
+    per-position absmax."""
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.maximum(absmax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def update_layer_cache(
