@@ -201,7 +201,9 @@ def main() -> None:
     del engine
     qparams = quantize_llama_params(params, free_originals=True)
     params = None
-    qengine = InferenceEngine(qparams, cfg, max_cache_length=CACHE_LEN)
+    # Full int8 serving mode: int8 weights + int8 KV cache (kv matters little
+    # at B=1 but +42% at batch 8 — see README serving table).
+    qengine = InferenceEngine(qparams, cfg, max_cache_length=CACHE_LEN, kv_dtype="int8")
 
     def qrun(max_new):
         px = preprocess(raw)
