@@ -192,7 +192,9 @@ def main() -> None:
     step_bytes = hbm_gbps * 1e9 / roofline
     effective_gbps = step_bytes * decode_tps / 1e9
 
-    # --- int8 weights-only serving mode (secondary metric) ---
+    # --- full int8 serving mode: int8 weights + int8 KV cache (secondary
+    # metric; before commit 8af26fd the int8_* fields measured weights-only
+    # with a bf16 cache — B=1 differs by only ~1%) ---
     from llama32mm_tpu.ops.quant import quantize_llama_params
 
     # Free the bf16 serving state as the int8 copy is built: the bf16 engine
@@ -235,7 +237,9 @@ def main() -> None:
                 "vs_baseline": round(decode_tps / roofline, 4),
                 "roofline_tokens_per_sec": round(roofline, 2),
                 "effective_hbm_gbps": round(effective_gbps, 1),
-                "measured_stream_peak_gbps": 609.8,
+                # one-off streaming-reduce measurement of THIS dev chip
+                # (scripts/bench_hbm_peak.py) — only meaningful on v5e
+                **({"measured_stream_peak_gbps": 609.8} if "v5" in kind else {}),
                 "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
                 "int8_decode_tokens_per_sec": round(q_decode_tps, 2),
                 "int8_vs_bf16_roofline": round(q_decode_tps / roofline, 4),

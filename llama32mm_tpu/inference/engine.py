@@ -105,6 +105,8 @@ class InferenceEngine:
         (int8 slots + per-position scales folded into attention — halves
         cache HBM traffic and capacity; slightly lossy, off the parity
         path)."""
+        if kv_dtype not in (None, "int8"):
+            raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
         self.params = params
         self.config = config
         self.max_cache_length = max_cache_length or config.text_config.max_cache_length

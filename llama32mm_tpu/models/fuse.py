@@ -17,9 +17,14 @@ permutation needed because per-shard head ranges are contiguous and the GQA
 group mapping ``q_head i → kv_head i // group`` is shard-local for any tp
 dividing both head counts).
 
-Fusion is a pure param-tree transform (applied by ``InferenceEngine`` on
-load, or explicitly before ``shard_params`` for multi-chip serving); the
-unfused tree remains the checkpoint/training format.
+Fusion is a pure param-tree transform applied explicitly by the caller
+(``params = fuse_decoder_params(params, cfg.text_config, tp=...)``, before
+``shard_params`` for multi-chip serving — rebind so the unfused decoder
+weights free); the unfused tree remains the checkpoint/training format, and
+``language.py`` dispatches on the presence of ``W_qkv`` / ``w_gateup`` in
+the block params. Measured on one v5e chip the fusion is throughput-neutral
+(XLA already schedules the separate gemvs at bandwidth — see
+``scripts/bench_fuse_ab.py``); its value is the TP-serving layout.
 """
 
 from __future__ import annotations
@@ -53,10 +58,6 @@ def _fuse_maybe_quantized(parts, tp):
         )
         return {"q": q, "scale": scale}
     return {"weight": _fuse([p["weight"] if isinstance(p, dict) else p for p in parts], tp)}
-
-
-def is_fused(att_or_ff: dict) -> bool:
-    return "W_qkv" in att_or_ff or "w_gateup" in att_or_ff
 
 
 def fuse_decoder_params(params: dict, config: LLAMA32Config, tp: int = 1) -> dict:

@@ -101,16 +101,25 @@ def gqa_attention(
         on the Pallas path (they must describe the same constraint).
     Returns: ``[B, n_heads, Tq, head_dim]``.
     """
-    impl = resolve_impl(impl)
     tq, tk = q.shape[2], k.shape[2]
 
     # Measured on v5e (1632q/1792k, 28-layer tower): XLA's fused dense
     # attention beats the flash kernel 56.5 ms vs 82.4 ms — materializing the
     # score matrix is cheap next to the projection matmuls until the context
-    # grows past a few k tokens. Flash takes over where O(Tq·Tk) score memory
-    # becomes the bottleneck (long context — SURVEY §5), and at decode
-    # (Tq == 1) the batched matvec is pure bandwidth either way.
-    use_flash = impl == "pallas" and tq > 1 and tk > 4096 and k_scale is None
+    # grows past a few k tokens. So "auto" uses flash only where O(Tq·Tk)
+    # score memory becomes the bottleneck (long context — SURVEY §5), while
+    # an EXPLICIT impl="pallas" always forces the flash kernel (debug/parity
+    # contract, same as the other ops). Decode (Tq == 1) is a pure-bandwidth
+    # matvec either way and stays on XLA; int8-KV scales aren't supported by
+    # the flash kernel yet.
+    forced_pallas = impl == "pallas"
+    impl = resolve_impl(impl)
+    use_flash = (
+        impl == "pallas"
+        and tq > 1
+        and (forced_pallas or tk > 4096)
+        and k_scale is None
+    )
 
     if not use_flash:
         if mask is None and structured is not None:

@@ -51,6 +51,13 @@ def qlinear(x: jax.Array, qw: dict, impl: str = "auto") -> jax.Array:
     return (jnp.matmul(x, w).astype(jnp.float32) * qw["scale"]).astype(x.dtype)
 
 
+# stacked [L, ...] → per-layer quantization (lax.map: the fp32 intermediate
+# is one layer, not the whole stack)
+_quantize_stacked = jax.jit(lambda w: jax.lax.map(quantize_weight, w))
+_quantize_stacked_donating = jax.jit(
+    lambda w: jax.lax.map(quantize_weight, w), donate_argnums=(0,)
+)
+
 _QUANT_TARGET_PATHS = (
     ("att", "W_query", "weight"),
     ("att", "W_key", "weight"),
@@ -81,14 +88,9 @@ def quantize_llama_params(
     weights barely fit; the caller's tree is invalidated).
     """
     donate = free_originals and jax.default_backend() != "cpu"
-
-    def q_leaf(w):
-        # stacked [L, in, out] → per-layer per-channel quantization
-        fn = jax.jit(
-            lambda w: jax.lax.map(quantize_weight, w),
-            donate_argnums=(0,) if donate else (),
-        )
-        return fn(w)
+    # module-level jitted fns so same-shaped leaves (W_query/out_proj,
+    # w_gate/w_up) reuse one compiled executable
+    q_leaf = _quantize_stacked_donating if donate else _quantize_stacked
 
     lm = params.get("language_model", params)
     blocks = lm["model"]["blocks"]

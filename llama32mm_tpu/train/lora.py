@@ -185,17 +185,25 @@ def lora_train_step(params, state, batch, rng, config, **kw):
 # ---------------------------------------------------------------------------
 
 
+def _npz_path(path: str) -> str:
+    # np.savez appends .npz to bare paths but np.load does not — normalize so
+    # save/load round-trip through the same path string.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_train_state(path: str, state: LoraTrainState) -> None:
     """Persist the full training state (adapters + Adam moments + step) so
     fine-tuning can resume exactly."""
     leaves, _ = jax.tree.flatten(state)
-    np.savez_compressed(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    np.savez_compressed(
+        _npz_path(path), **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    )
 
 
 def load_train_state(path: str, template: LoraTrainState) -> LoraTrainState:
     """Restore a state saved by ``save_train_state``; ``template`` (e.g. a
     fresh ``init_state(lora)``) provides the tree structure."""
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     leaves, treedef = jax.tree.flatten(template)
     loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
     for want, got in zip(leaves, loaded):

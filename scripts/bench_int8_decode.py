@@ -61,17 +61,19 @@ def main():
     px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 560, 560), tc.jnp_dtype)
 
     # Flip ONLY qlinear's backend between runs (engine impl stays "auto" so
-    # every other op routes identically).
+    # every other op routes identically). qlinear dispatches via
+    # resolve_impl_prefer_xla — patch THAT symbol (patching resolve_impl was
+    # the original, now-dead dispatch and would silently measure XLA twice).
     import llama32mm_tpu.ops.quant as quant_mod
 
-    orig_resolve = quant_mod.resolve_impl
+    orig_resolve = quant_mod.resolve_impl_prefer_xla
     for qimpl in ("pallas", "xla"):
-        quant_mod.resolve_impl = lambda impl="auto", _v=qimpl: _v
+        quant_mod.resolve_impl_prefer_xla = lambda impl="auto", _v=qimpl: _v
         eng = InferenceEngine(qparams, cfg, max_cache_length=CACHE_LEN)
         tps, ttft = measure(eng, ids, px)
         print(f"int8 decode qlinear={qimpl:7s} {tps:7.1f} tok/s  (ttft {ttft * 1e3:.0f} ms)", flush=True)
         del eng
-    quant_mod.resolve_impl = orig_resolve
+    quant_mod.resolve_impl_prefer_xla = orig_resolve
 
 
 if __name__ == "__main__":

@@ -127,7 +127,8 @@ def test_train_state_save_resume(tiny, batch, tmp_path):
     for i in range(3):
         state, _ = step(params, state, batch, jax.random.fold_in(rng, i))
 
-    p = str(tmp_path / "train_state.npz")
+    # extension-less path: save appends .npz, load must find the same file
+    p = str(tmp_path / "train_state")
     save_train_state(p, state)
     restored = load_train_state(p, init_state(lora))
     assert int(restored.step) == 3
