@@ -103,21 +103,20 @@ def gqa_attention(
     """
     tq, tk = q.shape[2], k.shape[2]
 
-    # Measured on v5e (1632q/1792k, 28-layer tower): XLA's fused dense
-    # attention beats the flash kernel 56.5 ms vs 82.4 ms — materializing the
-    # score matrix is cheap next to the projection matmuls until the context
-    # grows past a few k tokens. So "auto" uses flash only where O(Tq·Tk)
-    # score memory becomes the bottleneck (long context — SURVEY §5), while
-    # an EXPLICIT impl="pallas" always forces the flash kernel (debug/parity
-    # contract, same as the other ops). Decode (Tq == 1) is a pure-bandwidth
-    # matvec either way and stays on XLA; int8-KV scales aren't supported by
-    # the flash kernel yet.
+    # Measured on v5e (28-layer 3B tower): XLA's dense attention beats the
+    # flash kernel at short context (1.8k: 56.5 vs 82.4 ms; 4.6k: 298 vs
+    # 331 ms), they tie at 8k (757 vs 747 ms), and beyond that the O(Tq·Tk)
+    # fp32 score materialization stops fitting HBM next to the weights — so
+    # "auto" switches to flash from 8k. An EXPLICIT impl="pallas" always
+    # forces the flash kernel (debug/parity contract, same as the other
+    # ops). Decode (Tq == 1) is a pure-bandwidth matvec either way and stays
+    # on XLA; int8-KV scales aren't supported by the flash kernel yet.
     forced_pallas = impl == "pallas"
     impl = resolve_impl(impl)
     use_flash = (
         impl == "pallas"
         and tq > 1
-        and (forced_pallas or tk > 4096)
+        and (forced_pallas or tk >= 8192)
         and k_scale is None
     )
 

@@ -1,0 +1,72 @@
+"""Long-context prefill sanity on the real chip: at tk > 4096 'auto' routes
+attention to the Pallas flash kernel — verify numerics vs the XLA dense path
+and compare time (flash avoids the O(T^2) fp32 score materialization).
+
+Run: python -u scripts/bench_longctx.py [SEQ]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import bench_config
+from llama32mm_tpu.inference.engine import structured_prefill_mask
+from llama32mm_tpu.models.language import llama_forward
+from llama32mm_tpu.models.vlm import init_vlm_params
+from llama32mm_tpu.utils.kvcache import init_kv_cache
+
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 4608  # > 4096 → flash on auto
+
+
+def main():
+    cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
+    tc = cfg.text_config
+    params = jax.device_put(init_vlm_params(jax.random.PRNGKey(0), cfg))
+    lm = params["language_model"]["model"]
+
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (1, S, tc.hidden_size), tc.jnp_dtype)
+    mask = structured_prefill_mask(jnp.ones((1, S), jnp.int32), S)
+
+    def prefill(impl):
+        @jax.jit
+        def run(lm, embeds):
+            cache = init_kv_cache(tc, 1, max_length=S, dtype=tc.jnp_dtype)
+            out = llama_forward(
+                lm, tc, input_embeds=embeds, attention_mask=mask,
+                kv_cache=cache, impl=impl,
+            )
+            return out.hidden_states[:, -1]
+
+        return run
+
+    outs = {}
+    for impl in ("auto", "xla"):
+        f = prefill(impl)
+        try:
+            outs[impl] = np.asarray(f(lm, embeds))
+        except Exception as e:  # dense path OOMs past ~6k ctx — flash is the only option
+            print(f"prefill S={S} impl={impl:5s}  FAILED: {type(e).__name__} {str(e)[:120]}", flush=True)
+            continue
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(lm, embeds))
+            ts.append(time.perf_counter() - t0)
+        print(f"prefill S={S} impl={impl:5s}  {np.percentile(ts, 50) * 1e3:8.1f} ms", flush=True)
+
+    if len(outs) == 2:
+        a, x = outs["auto"].astype(np.float32), outs["xla"].astype(np.float32)
+        rel = np.abs(a - x).max() / (np.abs(x).max() + 1e-9)
+        print(f"flash-vs-dense last-hidden max rel diff: {rel:.2e}", flush=True)
+        assert rel < 5e-2, rel  # bf16 reduction-order noise grows with ctx
+
+
+if __name__ == "__main__":
+    main()
