@@ -118,8 +118,9 @@ def _vit_attention(x, attn_params, num_heads, head_dim, impl="auto"):
     )
     # Flash only where the [N, N] score materialization would hurt: at
     # ViT-H's N=1600 the XLA einsum path measures faster on v5e (189 ms vs
-    # 171 ms TTFT), so the threshold sits above it.
-    if resolve_impl(impl) == "pallas" and n >= 4096:
+    # 171 ms TTFT), so the auto threshold sits above it; explicit
+    # impl="pallas" forces the kernel (same contract as ops/attention.py).
+    if impl == "pallas" or (resolve_impl(impl) == "pallas" and n >= 8192):
         # Non-causal flash: logits are s/√d in fp32 with an fp32 online
         # softmax — numerically the reference's scale-then-fp32-softmax
         # (vision_encoder.py:125) without materializing the [N, N] scores.
