@@ -110,15 +110,10 @@ def gqa_attention(
     # "auto" switches to flash from 8k. An EXPLICIT impl="pallas" always
     # forces the flash kernel (debug/parity contract, same as the other
     # ops). Decode (Tq == 1) is a pure-bandwidth matvec either way and stays
-    # on XLA; int8-KV scales aren't supported by the flash kernel yet.
+    # on XLA. int8-KV per-position scales fold in on both paths.
     forced_pallas = impl == "pallas"
     impl = resolve_impl(impl)
-    use_flash = (
-        impl == "pallas"
-        and tq > 1
-        and (forced_pallas or tk >= 8192)
-        and k_scale is None
-    )
+    use_flash = impl == "pallas" and tq > 1 and (forced_pallas or tk >= 8192)
 
     if not use_flash:
         if mask is None and structured is not None:
@@ -128,7 +123,7 @@ def gqa_attention(
     if structured is None:
         if mask is not None:
             # Dense-only mask: no structure to exploit — XLA fallback.
-            return _gqa_attention_xla(q, k, v, mask)
+            return _gqa_attention_xla(q, k, v, mask, k_scale, v_scale)
         structured = AttnMask(
             kv_valid=jnp.ones((q.shape[0], tk), jnp.int32),
             q_offset=jnp.asarray(0, jnp.int32),
@@ -137,5 +132,6 @@ def gqa_attention(
     from llama32mm_tpu.ops.pallas.attention import flash_gqa_attention
 
     return flash_gqa_attention(
-        q, k, v, structured.kv_valid, structured.q_offset, causal=causal
+        q, k, v, structured.kv_valid, structured.q_offset, causal=causal,
+        k_scale=k_scale, v_scale=v_scale,
     )

@@ -38,6 +38,8 @@ def _flash_kernel(
     k_ref,  # [1, BK, hd]
     v_ref,  # [1, BK, hd]
     kvv_ref,  # [1, BK] int32 key-slot validity
+    ks_ref,  # [1, BK] f32 per-position key scales (int8-KV mode; ones otherwise)
+    vs_ref,  # [1, BK] f32 per-position value scales
     o_ref,  # [1, BQ, hd]
     m_scr,  # VMEM [BQ, 1] f32
     l_scr,  # VMEM [BQ, 1] f32
@@ -48,6 +50,7 @@ def _flash_kernel(
     bk: int,
     tk: int,
     causal: bool,
+    scaled_kv: bool,
 ):
     ik = pl.program_id(2)
 
@@ -75,11 +78,15 @@ def _flash_kernel(
     @pl.when(relevant)
     def _():
         q = q_ref[0]
-        k = k_ref[0]
+        k = k_ref[0].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
+        if scaled_kv:
+            # int8-KV: per-position key scale commutes out of the dot
+            # (ops/attention.py) — applied before masking.
+            s = s * ks_ref[0][None, :]
 
         allowed = (kvv_ref[0] != 0)[None, :]  # [1, BK]
         # Bound the ragged last KV block: beyond Tk both k/v and kv_valid
@@ -96,8 +103,13 @@ def _flash_kernel(
         p = jnp.exp(logits - m_new) * allowed.astype(jnp.float32)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[:] = m_new
+        if scaled_kv:
+            # fold the per-position value scale into the attention weights;
+            # re-mask because the ragged last block's scale slots are
+            # padding garbage (NaN-filled in interpret mode: 0·NaN = NaN)
+            p = jnp.where(allowed, p * vs_ref[0][None, :], 0.0)
         # zero padded V rows: p is 0 there, but 0·NaN = NaN through the dot
-        v = v_ref[0]
+        v = v_ref[0].astype(q.dtype)
         v_row_valid = (ik * bk + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)) < tk
         v = jnp.where(v_row_valid, v, 0)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -116,17 +128,20 @@ def _flash_kernel(
 
 def flash_gqa_attention(
     q: jax.Array,  # [B, nq, Tq, hd]
-    k: jax.Array,  # [B, nkv, Tk, hd]
+    k: jax.Array,  # [B, nkv, Tk, hd] — float, or int8 with k_scale given
     v: jax.Array,  # [B, nkv, Tk, hd]
     kv_valid: jax.Array,  # [B, Tk] (bool/int) — key-slot validity
     q_offset,  # scalar int32 — absolute position of query row 0
     causal: bool = True,
     block_q: int = 512,
     block_k: int = 1024,
+    k_scale: jax.Array = None,  # [B, nkv, Tk] fp32 (int8-KV serving mode)
+    v_scale: jax.Array = None,
 ) -> jax.Array:
     b, nq, tq, hd = q.shape
     nkv, tk = k.shape[1], k.shape[2]
     group = nq // nkv
+    scaled_kv = k_scale is not None
 
     bq = min(block_q, round_up(tq, 8))
     bk = min(block_k, round_up(tk, 128))
@@ -137,28 +152,40 @@ def flash_gqa_attention(
     v3 = v.reshape(b * nkv, tk, hd)
     kvv = kv_valid.astype(jnp.int32)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
+    if scaled_kv:
+        ks2 = k_scale.astype(jnp.float32).reshape(b * nkv, tk)
+        vs2 = v_scale.astype(jnp.float32).reshape(b * nkv, tk)
+    else:
+        # 1-row dummies; the kernel never reads them (scaled_kv is static)
+        ks2 = jnp.ones((b * nkv, 128), jnp.float32)
+        vs2 = ks2
+
+    def kv_head_ix(bh, iq, ik):
+        return ((bh // (nkv * group)) * nkv + (bh % (nkv * group)) // group, ik, 0)
+
+    def scale_ix(bh, iq, ik):
+        if scaled_kv:
+            return ((bh // (nkv * group)) * nkv + (bh % (nkv * group)) // group, ik)
+        return (0, 0)
+
+    scale_bk = bk if scaled_kv else 128
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, inv_sqrt_d=1.0 / (hd**0.5), bq=bq, bk=bk, tk=tk, causal=causal
+            _flash_kernel, inv_sqrt_d=1.0 / (hd**0.5), bq=bq, bk=bk, tk=tk,
+            causal=causal, scaled_kv=scaled_kv,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda bh, iq, ik: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, bk, hd),
-                lambda bh, iq, ik: ((bh // (nkv * group)) * nkv + (bh % (nkv * group)) // group, ik, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, bk, hd),
-                lambda bh, iq, ik: ((bh // (nkv * group)) * nkv + (bh % (nkv * group)) // group, ik, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, bk, hd), kv_head_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), kv_head_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, bk), lambda bh, iq, ik: (bh // (nkv * group), ik), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
@@ -178,5 +205,5 @@ def flash_gqa_attention(
             transcendentals=b * nq * tq * tk,
         ),
         interpret=use_interpret(),
-    )(qoff, q3, k3, v3, kvv)
+    )(qoff, q3, k3, v3, kvv, ks2, vs2)
     return out.reshape(b, nq, tq, hd)

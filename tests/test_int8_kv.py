@@ -82,3 +82,32 @@ def test_int8_kv_engine_generates(tiny):
     # tiny random model; require the first few to match
     a, b = np.asarray(ref.tokens)[0], np.asarray(q8.tokens)[0]
     assert (a[:3] == b[:3]).all(), (a, b)
+
+
+def test_flash_kernel_with_kv_scales_matches_xla():
+    """The flash kernel folds int8-KV per-position scales identically to the
+    dense XLA path (interpret mode on CPU)."""
+    from llama32mm_tpu.ops.attention import AttnMask, gqa_attention
+    from llama32mm_tpu.ops.pallas.attention import flash_gqa_attention
+
+    b, nq, nkv, tq, tk, hd = 2, 4, 2, 16, 32, 16
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, nq, tq, hd))
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (b, nkv, tk, hd))
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (b, nkv, tk, hd))
+    from llama32mm_tpu.utils.kvcache import quantize_kv
+
+    kq, ks = quantize_kv(kf)
+    vq, vs = quantize_kv(vf)
+    kv_valid = jnp.ones((b, tk), jnp.int32).at[:, -4:].set(0)
+    structured = AttnMask(kv_valid=kv_valid, q_offset=jnp.asarray(tk - tq - 4, jnp.int32))
+
+    want = gqa_attention(
+        q, kq.astype(q.dtype), vq.astype(q.dtype), structured=structured,
+        impl="xla", k_scale=ks, v_scale=vs,
+    )
+    got = flash_gqa_attention(
+        q, kq, vq, kv_valid, structured.q_offset, causal=True,
+        k_scale=ks, v_scale=vs,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
