@@ -37,9 +37,10 @@ def _flash_kernel(
     q_ref,  # [1, BQ, hd]
     k_ref,  # [1, BK, hd]
     v_ref,  # [1, BK, hd]
-    kvv_ref,  # [1, BK] int32 key-slot validity
-    ks_ref,  # [1, BK] f32 per-position key scales (int8-KV mode; ones otherwise)
-    vs_ref,  # [1, BK] f32 per-position value scales
+    kvv_ref,  # [1, 1, BK] int32 key-slot validity (3D: Mosaic needs the
+    #           second-to-last block dim to equal the array dim or be 8-aligned)
+    ks_ref,  # [1, 1, BK] f32 per-position key scales (int8-KV mode)
+    vs_ref,  # [1, 1, BK] f32 per-position value scales
     o_ref,  # [1, BQ, hd]
     m_scr,  # VMEM [BQ, 1] f32
     l_scr,  # VMEM [BQ, 1] f32
@@ -86,9 +87,9 @@ def _flash_kernel(
         if scaled_kv:
             # int8-KV: per-position key scale commutes out of the dot
             # (ops/attention.py) — applied before masking.
-            s = s * ks_ref[0][None, :]
+            s = s * ks_ref[0, 0][None, :]
 
-        allowed = (kvv_ref[0] != 0)[None, :]  # [1, BK]
+        allowed = (kvv_ref[0, 0] != 0)[None, :]  # [1, BK]
         # Bound the ragged last KV block: beyond Tk both k/v and kv_valid
         # blocks hold padding garbage, so mask by absolute key position.
         allowed = allowed & (k_pos < tk)
@@ -107,7 +108,7 @@ def _flash_kernel(
             # fold the per-position value scale into the attention weights;
             # re-mask because the ragged last block's scale slots are
             # padding garbage (NaN-filled in interpret mode: 0·NaN = NaN)
-            p = jnp.where(allowed, p * vs_ref[0][None, :], 0.0)
+            p = jnp.where(allowed, p * vs_ref[0, 0][None, :], 0.0)
         # zero padded V rows: p is 0 there, but 0·NaN = NaN through the dot
         v = v_ref[0].astype(q.dtype)
         v_row_valid = (ik * bk + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)) < tk
@@ -128,7 +129,7 @@ def _flash_kernel(
 
 def flash_gqa_attention(
     q: jax.Array,  # [B, nq, Tq, hd]
-    k: jax.Array,  # [B, nkv, Tk, hd] — float, or int8 with k_scale given
+    k: jax.Array,  # [B, nkv, Tk, hd] — float, or int8 with scales given
     v: jax.Array,  # [B, nkv, Tk, hd]
     kv_valid: jax.Array,  # [B, Tk] (bool/int) — key-slot validity
     q_offset,  # scalar int32 — absolute position of query row 0
@@ -138,6 +139,8 @@ def flash_gqa_attention(
     k_scale: jax.Array = None,  # [B, nkv, Tk] fp32 (int8-KV serving mode)
     v_scale: jax.Array = None,
 ) -> jax.Array:
+    if (k_scale is None) != (v_scale is None):
+        raise ValueError("k_scale and v_scale must be given together (int8-KV mode)")
     b, nq, tq, hd = q.shape
     nkv, tk = k.shape[1], k.shape[2]
     group = nq // nkv
@@ -150,14 +153,18 @@ def flash_gqa_attention(
     q3 = q.reshape(b * nq, tq, hd)
     k3 = k.reshape(b * nkv, tk, hd)
     v3 = v.reshape(b * nkv, tk, hd)
-    kvv = kv_valid.astype(jnp.int32)
+    # validity/scale rows carry a singleton middle axis so their blocks are
+    # (1, 1, bk) — Mosaic requires the second-to-last block dim to equal the
+    # array dim (here 1) or be 8-aligned; a 2D (1, bk) block over a >1-row
+    # array fails TPU lowering.
+    kvv = kv_valid.astype(jnp.int32)[:, None, :]
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
     if scaled_kv:
-        ks2 = k_scale.astype(jnp.float32).reshape(b * nkv, tk)
-        vs2 = v_scale.astype(jnp.float32).reshape(b * nkv, tk)
+        ks2 = k_scale.astype(jnp.float32).reshape(b * nkv, 1, tk)
+        vs2 = v_scale.astype(jnp.float32).reshape(b * nkv, 1, tk)
     else:
         # 1-row dummies; the kernel never reads them (scaled_kv is static)
-        ks2 = jnp.ones((b * nkv, 128), jnp.float32)
+        ks2 = jnp.ones((1, 1, 128), jnp.float32)
         vs2 = ks2
 
     def kv_head_ix(bh, iq, ik):
@@ -165,8 +172,9 @@ def flash_gqa_attention(
 
     def scale_ix(bh, iq, ik):
         if scaled_kv:
-            return ((bh // (nkv * group)) * nkv + (bh % (nkv * group)) // group, ik)
-        return (0, 0)
+            h, _ik, _ = kv_head_ix(bh, iq, ik)
+            return (h, 0, _ik)
+        return (0, 0, 0)
 
     scale_bk = bk if scaled_kv else 128
 
@@ -182,10 +190,12 @@ def flash_gqa_attention(
             pl.BlockSpec((1, bk, hd), kv_head_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, hd), kv_head_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, bk), lambda bh, iq, ik: (bh // (nkv * group), ik), memory_space=pltpu.VMEM
+                (1, 1, bk),
+                lambda bh, iq, ik: (bh // (nkv * group), 0, ik),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
@@ -201,7 +211,11 @@ def flash_gqa_attention(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * nq * tq * tk * hd,
-            bytes_accessed=(b * nq * tq * hd * 2 + b * nkv * tk * hd * 2) * q.dtype.itemsize,
+            bytes_accessed=(
+                2 * b * nq * tq * hd * q.dtype.itemsize  # q in, o out
+                + 2 * b * nkv * tk * hd * k.dtype.itemsize  # k, v (int8-aware)
+                + (2 * b * nkv * tk * 4 if scaled_kv else 0)  # fp32 scales
+            ),
             transcendentals=b * nq * tq * tk,
         ),
         interpret=use_interpret(),

@@ -1,6 +1,7 @@
-"""Long-context prefill sanity on the real chip: at tk > 4096 'auto' routes
+"""Long-context prefill sanity on the real chip: at tk >= 8192 'auto' routes
 attention to the Pallas flash kernel — verify numerics vs the XLA dense path
-and compare time (flash avoids the O(T^2) fp32 score materialization).
+and compare time (flash avoids the O(T^2) fp32 score materialization, which
+stops fitting HBM next to the weights much past 8k).
 
 Run: python -u scripts/bench_longctx.py [SEQ]
 """
@@ -22,7 +23,7 @@ from llama32mm_tpu.models.language import llama_forward
 from llama32mm_tpu.models.vlm import init_vlm_params
 from llama32mm_tpu.utils.kvcache import init_kv_cache
 
-S = int(sys.argv[1]) if len(sys.argv) > 1 else 4608  # > 4096 → flash on auto
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 8192  # >= 8192 → flash on auto
 
 
 def main():
@@ -51,7 +52,7 @@ def main():
         f = prefill(impl)
         try:
             outs[impl] = np.asarray(f(lm, embeds))
-        except Exception as e:  # dense path OOMs past ~6k ctx — flash is the only option
+        except Exception as e:  # dense scores stop fitting HBM well past 8k
             print(f"prefill S={S} impl={impl:5s}  FAILED: {type(e).__name__} {str(e)[:120]}", flush=True)
             continue
         ts = []
