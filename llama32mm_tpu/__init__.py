@@ -25,6 +25,9 @@ __version__ = "0.1.0"
 _LAZY_EXPORTS = {
     "MllamaForConditionalGeneration": "llama32mm_tpu.models.wrapper",
     "Llama3ForCausalLM": "llama32mm_tpu.models.wrapper",
+    "Llama3Model": "llama32mm_tpu.models.wrapper",
+    "LLAMARMSNorm": "llama32mm_tpu.ops.rmsnorm",
+    "FusedSwiGLU": "llama32mm_tpu.ops.swiglu",
     "load_hf_model": "llama32mm_tpu.io.checkpoint",
     "MllamaImageProcessor": "llama32mm_tpu.preprocess.processor",
     "Linear_LORA": "llama32mm_tpu.train.lora",

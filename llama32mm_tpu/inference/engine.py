@@ -98,7 +98,6 @@ class InferenceEngine:
         config: MLLAMAConfig,
         max_cache_length: Optional[int] = None,
         impl: str = "auto",
-        donate_cache: bool = True,
         kv_dtype: Optional[str] = None,
     ):
         """``kv_dtype="int8"`` enables the quantized KV cache serving mode

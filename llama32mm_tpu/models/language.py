@@ -35,7 +35,7 @@ from llama32mm_tpu.ops.dispatch import resolve_impl
 from llama32mm_tpu.ops.rmsnorm import fused_add_rmsnorm
 from llama32mm_tpu.ops.rope import apply_rotary_pos_emb, rope_cos_sin
 from llama32mm_tpu.ops.swiglu import fused_swiglu
-from llama32mm_tpu.utils.kvcache import KVCache, update_layer_cache
+from llama32mm_tpu.utils.kvcache import KVCache, update_stacked
 
 
 # ---------------------------------------------------------------------------
@@ -296,12 +296,7 @@ def _block_forward(
             v_scale = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
         else:
             k_w, v_w = k, v
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_w[None].astype(k_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_w[None].astype(v_all.dtype), (layer_idx, 0, 0, cache_pos, 0)
-        )
+        k_all, v_all = update_stacked(k_all, v_all, k_w, v_w, layer_idx, cache_pos)
         k = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
         if ks_all is None:

@@ -102,10 +102,14 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(b, nh * nw, c * p * p)
 
 
-def _vit_attention(x, attn_params, num_heads, head_dim, impl="auto"):
+def _vit_attention(
+    x, attn_params, num_heads, head_dim, impl="auto",
+    dropout_rate: float = 0.0, dropout_rng=None,
+):
     from llama32mm_tpu.ops.dispatch import resolve_impl
 
     b, n, d = x.shape
+    train_dropout = dropout_rng is not None and dropout_rate > 0.0
 
     def proj(p):
         return jnp.matmul(x, p["weight"]) + p["bias"]
@@ -120,7 +124,12 @@ def _vit_attention(x, attn_params, num_heads, head_dim, impl="auto"):
     # ViT-H's N=1600 the XLA einsum path measures faster on v5e (189 ms vs
     # 171 ms TTFT), so the auto threshold sits above it; explicit
     # impl="pallas" forces the kernel (same contract as ops/attention.py).
-    if impl == "pallas" or (resolve_impl(impl) == "pallas" and n >= 8192):
+    # Attention dropout (vision_encoder.py:127) needs the materialized
+    # weights, so training with dropout always takes the dense path.
+    use_flash = not train_dropout and (
+        impl == "pallas" or (resolve_impl(impl) == "pallas" and n >= 8192)
+    )
+    if use_flash:
         # Non-causal flash: logits are s/√d in fp32 with an fp32 online
         # softmax — numerically the reference's scale-then-fp32-softmax
         # (vision_encoder.py:125) without materializing the [N, N] scores.
@@ -133,15 +142,29 @@ def _vit_attention(x, attn_params, num_heads, head_dim, impl="auto"):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         # fp32 softmax then cast back (vision_encoder.py:125).
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        if train_dropout:
+            # nn.Dropout(attention_dropout) on the weights (vision_encoder.py:127):
+            # inverted dropout, train mode only (rng given).
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+            weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0).astype(weights.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d)
     return jnp.matmul(ctx, attn_params["out_proj"]["weight"]) + attn_params["out_proj"]["bias"]
 
 
 def vision_encoder_forward(
-    params: dict, config: VisionEncoderConfig, pixel_values: jax.Array, impl: str = "auto"
+    params: dict,
+    config: VisionEncoderConfig,
+    pixel_values: jax.Array,
+    impl: str = "auto",
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """``VisionEncoder.forward``: ``[B, C, H, W] → [B, num_patches, D]``."""
+    """``VisionEncoder.forward``: ``[B, C, H, W] → [B, num_patches, D]``.
+
+    ``dropout_rng`` enables train-mode attention dropout at
+    ``config.attention_dropout`` (reference ``nn.Dropout``,
+    vision_encoder.py:127); inference (rng=None) is deterministic.
+    """
     emb = params["embeddings"]
     patches = patchify(pixel_values, config.patch_size)
     h = jnp.matmul(patches, emb["patch_embedding"]["weight"])
@@ -149,10 +172,20 @@ def vision_encoder_forward(
 
     eps = config.layer_norm_eps
     num_heads, head_dim = config.num_attention_heads, config.head_dim
+    drop_p = config.attention_dropout
+    layer_rngs = (
+        jax.random.split(dropout_rng, config.num_hidden_layers)
+        if (dropout_rng is not None and drop_p > 0.0)
+        else None
+    )
 
-    def block(h, lp):
+    def block(h, xs):
+        lp, rng = xs
         normed = _layer_norm(h, lp["layernorm1"]["weight"], lp["layernorm1"]["bias"], eps)
-        h = h + _vit_attention(normed, lp["self_attn"], num_heads, head_dim, impl)
+        h = h + _vit_attention(
+            normed, lp["self_attn"], num_heads, head_dim, impl,
+            dropout_rate=drop_p, dropout_rng=rng,
+        )
         normed = _layer_norm(h, lp["layernorm2"]["weight"], lp["layernorm2"]["bias"], eps)
         mlp = lp["mlp"]
         y = jnp.matmul(normed, mlp["fc1"]["weight"]) + mlp["fc1"]["bias"]
@@ -160,5 +193,5 @@ def vision_encoder_forward(
         y = jnp.matmul(y, mlp["fc2"]["weight"]) + mlp["fc2"]["bias"]
         return h + y, None
 
-    h, _ = jax.lax.scan(block, h, params["layers"])
+    h, _ = jax.lax.scan(block, h, (params["layers"], layer_rngs))
     return _layer_norm(h, params["post_layernorm"]["weight"], params["post_layernorm"]["bias"], eps)

@@ -90,11 +90,16 @@ def merge_input_ids_with_image_features(
 
 
 def encode_image(
-    params: dict, config: MLLAMAConfig, pixel_values: jax.Array, impl: str = "auto"
+    params: dict,
+    config: MLLAMAConfig,
+    pixel_values: jax.Array,
+    impl: str = "auto",
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Vision tower + projector: ``[B, C, H, W] → [B, N, text_hidden]``."""
     feats = vision_encoder_forward(
-        params["vision_model"], config.vision_config, pixel_values, impl=impl
+        params["vision_model"], config.vision_config, pixel_values, impl=impl,
+        dropout_rng=dropout_rng,
     )
     proj = params["multi_modal_projector"]["linear"]
     return jnp.matmul(feats, proj["weight"]) + proj["bias"]
@@ -130,7 +135,16 @@ def vlm_forward(
         inputs_embeds = params["language_model"]["model"]["tok_emb"]["weight"][ids]
 
     if pixel_values is not None and inputs_embeds is not None:
-        image_features = encode_image(params, config, pixel_values, impl=impl)
+        # Train-mode ViT attention dropout shares the caller's dropout rng
+        # (fold keeps it decorrelated from the LoRA input-dropout streams).
+        vis_rng = (
+            jax.random.fold_in(dropout_rng, 0x7E57)
+            if (dropout_rng is not None and config.vision_config.attention_dropout > 0.0)
+            else None
+        )
+        image_features = encode_image(
+            params, config, pixel_values, impl=impl, dropout_rng=vis_rng
+        )
         inputs_embeds, attention_mask = merge_input_ids_with_image_features(
             image_features, inputs_embeds, input_ids, attention_mask, config.image_token_index
         )

@@ -13,8 +13,38 @@ from typing import Optional
 import jax
 
 from llama32mm_tpu.configs import LLAMA32Config, MLLAMAConfig
-from llama32mm_tpu.models.language import causal_lm_forward, init_causal_lm_params
+from llama32mm_tpu.models.language import (
+    causal_lm_forward,
+    init_causal_lm_params,
+    init_llama_params,
+    llama_forward,
+)
 from llama32mm_tpu.models.vlm import init_vlm_params, vlm_forward
+
+
+class Llama3Model:
+    """Parity: reference ``Llama3Model`` (Model/model.py:287-346) — the bare
+    decoder stack (embeddings → blocks → final_norm), no lm_head. Returns
+    ``LlamaOutput(hidden_states, kv_cache)`` (the reference mutates its cache
+    in place and returns hidden states only)."""
+
+    def __init__(self, config: LLAMA32Config, params: Optional[dict] = None, seed: int = 0):
+        self.config = config
+        self.params = (
+            params
+            if params is not None
+            else init_llama_params(jax.random.PRNGKey(seed), config)
+        )
+
+    def __call__(self, input_ids=None, input_embeds=None, attention_mask=None,
+                 position_ids=None, kv_cache=None):
+        return llama_forward(
+            self.params, self.config,
+            input_ids=input_ids, input_embeds=input_embeds,
+            attention_mask=attention_mask, position_ids=position_ids, kv_cache=kv_cache,
+        )
+
+    forward = __call__
 
 
 class Llama3ForCausalLM:

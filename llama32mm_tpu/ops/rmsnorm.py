@@ -64,3 +64,20 @@ def fused_add_rmsnorm(
     if residual is None:
         residual = jnp.zeros_like(x)  # mirrors RMSNormFunction (Model/model.py:141)
     return fused_add_rmsnorm_pallas(x, weight, residual, eps)
+
+
+class LLAMARMSNorm:
+    """Module-style parity with the reference ``LLAMARMSNorm``
+    (``Model/model.py:158-171``): holds the ``[emb_dim]`` scale weight and
+    dispatches to the fused op. ``__call__(x, residual=None)`` matches the
+    reference forward signature."""
+
+    def __init__(self, emb_dim: int, eps: float = 1e-5, dtype=jnp.float32, impl: str = "auto"):
+        self.eps = eps
+        self.impl = impl
+        self.weight = jnp.ones((emb_dim,), dtype=dtype)
+
+    def __call__(self, x: jax.Array, residual: Optional[jax.Array] = None) -> jax.Array:
+        return fused_add_rmsnorm(x, self.weight, self.eps, residual=residual, impl=self.impl)
+
+    forward = __call__

@@ -98,3 +98,30 @@ def swiglu_down(
     from llama32mm_tpu.ops.pallas.swiglu import swiglu_down_pallas
 
     return swiglu_down_pallas(x, w_gate, w_up, w_down, b_gate, b_up)
+
+
+class FusedSwiGLU:
+    """Module-style parity with the reference ``FusedSwiGLU``
+    (``Tools/swiglu/FusedSwiglu.py:43-91``): holds ``[hidden, inter]`` raw
+    gate/up weights (the reference stores its kernel weights transposed vs
+    nn.Linear — SURVEY §2.1) plus optional biases, and dispatches to the
+    fused op."""
+
+    def __init__(self, hidden_size: int, intermediate_size: int, bias: bool = False,
+                 key: Optional[jax.Array] = None, dtype=jnp.float32, impl: str = "auto"):
+        import math
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        kg, ku = jax.random.split(key)
+        bound = 1.0 / math.sqrt(hidden_size)
+        shape = (hidden_size, intermediate_size)
+        self.impl = impl
+        self.w_gate = jax.random.uniform(kg, shape, jnp.float32, -bound, bound).astype(dtype)
+        self.w_up = jax.random.uniform(ku, shape, jnp.float32, -bound, bound).astype(dtype)
+        self.b_gate = jnp.zeros((intermediate_size,), dtype) if bias else None
+        self.b_up = jnp.zeros((intermediate_size,), dtype) if bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return fused_swiglu(x, self.w_gate, self.w_up, self.b_gate, self.b_up, impl=self.impl)
+
+    forward = __call__

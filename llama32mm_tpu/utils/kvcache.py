@@ -49,6 +49,22 @@ class KVCache(NamedTuple):
     def advance(self, n: int) -> "KVCache":
         return self._replace(pos=self.pos + n)
 
+    def update(self, k: jax.Array, v: jax.Array, layer_idx) -> tuple:
+        """Object-API parity with the reference ``KVCache.update(k, v,
+        layer_idx)`` (``Model/model.py:22-29``): write the new entries for one
+        layer and return that layer's full key/value buffers. Functional
+        variant: also returns the updated cache (the reference mutates in
+        place; position advance stays with :meth:`advance`, called once per
+        step across all layers).
+
+        Returns ``(k_layer [B, n_kv, S_max, hd], v_layer, new_cache)``.
+        """
+        layer_idx = jnp.asarray(layer_idx, jnp.int32)
+        new_k, new_v = update_stacked(self.k, self.v, k, v, layer_idx, self.pos)
+        k_layer = jax.lax.dynamic_index_in_dim(new_k, layer_idx, 0, keepdims=False)
+        v_layer = jax.lax.dynamic_index_in_dim(new_v, layer_idx, 0, keepdims=False)
+        return k_layer, v_layer, self._replace(k=new_k, v=new_v)
+
 
 def init_kv_cache(
     config: LLAMA32Config,
@@ -93,3 +109,23 @@ def update_layer_cache(
     k_layer = jax.lax.dynamic_update_slice(k_layer, k_new.astype(k_layer.dtype), (0, 0, pos, 0))
     v_layer = jax.lax.dynamic_update_slice(v_layer, v_new.astype(v_layer.dtype), (0, 0, pos, 0))
     return k_layer, v_layer
+
+
+def update_stacked(
+    k_all: jax.Array,  # [L, B, n_kv, S_max, hd] stacked cache
+    v_all: jax.Array,
+    k_new: jax.Array,  # [B, n_kv, T, hd]
+    v_new: jax.Array,
+    layer_idx: jax.Array,  # int32 scalar
+    pos: jax.Array,  # int32 scalar: write offset
+):
+    """One layer's slot write into the stacked cache — the single code path
+    shared by ``KVCache.update`` and the decoder's layer scan
+    (``models/language.py::_block_forward``)."""
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k_new[None].astype(k_all.dtype), (layer_idx, 0, 0, pos, 0)
+    )
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v_new[None].astype(v_all.dtype), (layer_idx, 0, 0, pos, 0)
+    )
+    return k_all, v_all
