@@ -481,13 +481,21 @@ def llama_forward(
 
 
 def lm_head_apply(
-    params: dict, config: LLAMA32Config, hidden: jax.Array, lora=None, impl: str = "auto"
+    params: dict,
+    config: LLAMA32Config,
+    hidden: jax.Array,
+    lora=None,
+    impl: str = "auto",
+    dropout_rng=None,
+    dropout_rate: float = 0.0,
 ) -> jax.Array:
-    """``Llama3ForCausalLM`` head; tied weights use the embedding transposed."""
+    """``Llama3ForCausalLM`` head; tied weights use the embedding transposed.
+    ``lora`` is the head's adapter leaf (the README recipe wraps every
+    language_model linear including lm_head)."""
     w = params["lm_head"]["weight"]
     if w is None:
         w = params["model"]["tok_emb"]["weight"].T
-    return _linear(hidden, w, lora, impl=impl)
+    return _linear(hidden, w, lora, dropout_rng, dropout_rate, impl=impl)
 
 
 def causal_lm_forward(
@@ -516,5 +524,6 @@ def causal_lm_forward(
         dropout_rng=dropout_rng,
         impl=impl,
     )
-    logits = lm_head_apply(params, config, out.hidden_states)
+    head_lora = None if lora is None else lora.get("lm_head")
+    logits = lm_head_apply(params, config, out.hidden_states, lora=head_lora, impl=impl)
     return logits, out.kv_cache

@@ -95,14 +95,27 @@ def encode_image(
     pixel_values: jax.Array,
     impl: str = "auto",
     dropout_rng: Optional[jax.Array] = None,
+    lora: Optional[dict] = None,
+    lora_dropout: float = 0.0,
 ) -> jax.Array:
-    """Vision tower + projector: ``[B, C, H, W] → [B, N, text_hidden]``."""
+    """Vision tower + projector: ``[B, C, H, W] → [B, N, text_hidden]``.
+    ``lora`` is the projector's adapter leaf (optional fine-tune target)."""
     feats = vision_encoder_forward(
         params["vision_model"], config.vision_config, pixel_values, impl=impl,
         dropout_rng=dropout_rng,
     )
     proj = params["multi_modal_projector"]["linear"]
-    return jnp.matmul(feats, proj["weight"]) + proj["bias"]
+    out = jnp.matmul(feats, proj["weight"]) + proj["bias"]
+    if lora is not None:
+        from llama32mm_tpu.models.language import _maybe_lora
+
+        proj_rng = (
+            jax.random.fold_in(dropout_rng, 0x4C6F)
+            if (dropout_rng is not None and lora_dropout > 0.0)
+            else None
+        )
+        out = _maybe_lora(feats, out, lora, proj_rng, lora_dropout)
+    return out
 
 
 def vlm_forward(
@@ -135,15 +148,21 @@ def vlm_forward(
         inputs_embeds = params["language_model"]["model"]["tok_emb"]["weight"][ids]
 
     if pixel_values is not None and inputs_embeds is not None:
-        # Train-mode ViT attention dropout shares the caller's dropout rng
-        # (fold keeps it decorrelated from the LoRA input-dropout streams).
+        # Train-mode ViT attention dropout (and projector-LoRA input dropout)
+        # share the caller's dropout rng; the fold keeps the vision stream
+        # decorrelated from the decoder LoRA input-dropout streams.
+        needs_vis_rng = config.vision_config.attention_dropout > 0.0 or (
+            lora is not None and lora.get("projector") is not None and lora_dropout > 0.0
+        )
         vis_rng = (
             jax.random.fold_in(dropout_rng, 0x7E57)
-            if (dropout_rng is not None and config.vision_config.attention_dropout > 0.0)
+            if (dropout_rng is not None and needs_vis_rng)
             else None
         )
         image_features = encode_image(
-            params, config, pixel_values, impl=impl, dropout_rng=vis_rng
+            params, config, pixel_values, impl=impl, dropout_rng=vis_rng,
+            lora=None if lora is None else lora.get("projector"),
+            lora_dropout=lora_dropout,
         )
         inputs_embeds, attention_mask = merge_input_ids_with_image_features(
             image_features, inputs_embeds, input_ids, attention_mask, config.image_token_index
@@ -168,7 +187,16 @@ def vlm_forward(
         hidden = jnp.take_along_axis(
             hidden, logits_positions[:, :, None].astype(jnp.int32), axis=1
         )
-    logits = lm_head_apply(params["language_model"], tc, hidden, impl=impl)
+    head_lora = None if lora is None else lora.get("lm_head")
+    head_rng = (
+        jax.random.fold_in(dropout_rng, 0x48454144)
+        if (dropout_rng is not None and head_lora is not None and lora_dropout > 0.0)
+        else None
+    )
+    logits = lm_head_apply(
+        params["language_model"], tc, hidden, lora=head_lora, impl=impl,
+        dropout_rng=head_rng, dropout_rate=lora_dropout,
+    )
 
     loss = None
     if labels is not None:

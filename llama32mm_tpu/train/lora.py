@@ -44,23 +44,35 @@ _TARGET_DIMS = {
 
 def init_lora_params(
     key: jax.Array,
-    config: LLAMA32Config,
+    config,
     rank: int = 16,
     alpha: float = 16.0,
     targets: Sequence[str] = DEFAULT_TARGETS,
     dtype=jnp.float32,
+    include_lm_head: bool = True,
+    include_projector: bool = False,
 ) -> dict:
-    """Stacked per-layer LoRA adapters for the decoder linears.
+    """Stacked per-layer LoRA adapters for the decoder linears, plus (by
+    default) an ``lm_head`` adapter — the reference README's ``apply_lora``
+    recipe wraps **every** ``nn.Linear`` inside ``language_model``, which
+    includes the head (``Model/model.py:349-364`` + README "LoRA
+    fine-tuning").
+
+    ``config`` may be an ``LLAMA32Config`` or a full ``MLLAMAConfig``;
+    ``include_projector=True`` (requires the full config) also adapts the
+    multi-modal projector linear.
 
     A ~ kaiming-uniform (like the reference's nn.Linear default init for
     lora_a), B = 0 (reference lora_b also defaults to kaiming — but zero-B is
     the evident intent so fine-tuning starts at the base model; the reference
     never zero-inits, which makes its adapted model differ from the base at
     step 0)."""
-    L = config.n_layers
+    full_cfg = config if isinstance(config, MLLAMAConfig) else None
+    text_cfg: LLAMA32Config = full_cfg.text_config if full_cfg is not None else config
+    L = text_cfg.n_layers
     blocks = {}
     for i, name in enumerate(targets):
-        n_in, n_out = _TARGET_DIMS[name](config)
+        n_in, n_out = _TARGET_DIMS[name](text_cfg)
         k = jax.random.fold_in(key, i)
         bound = 1.0 / math.sqrt(n_in)
         blocks[name] = {
@@ -68,7 +80,29 @@ def init_lora_params(
             "lora_b": jnp.zeros((L, rank, n_out), dtype),
             "scaling": jnp.full((L,), alpha / rank, jnp.float32),
         }
-    return {"blocks": blocks}
+    lora = {"blocks": blocks}
+
+    def _flat_adapter(k, n_in, n_out):
+        bound = 1.0 / math.sqrt(n_in)
+        return {
+            "lora_a": jax.random.uniform(k, (n_in, rank), jnp.float32, -bound, bound).astype(dtype),
+            "lora_b": jnp.zeros((rank, n_out), dtype),
+            "scaling": jnp.asarray(alpha / rank, jnp.float32),
+        }
+
+    if include_lm_head:
+        lora["lm_head"] = _flat_adapter(
+            jax.random.fold_in(key, 1000), text_cfg.hidden_size, text_cfg.vocab_size
+        )
+    if include_projector:
+        if full_cfg is None:
+            raise ValueError("include_projector=True requires a full MLLAMAConfig")
+        lora["projector"] = _flat_adapter(
+            jax.random.fold_in(key, 1001),
+            full_cfg.vision_config.hidden_size,
+            text_cfg.hidden_size,
+        )
+    return lora
 
 
 class Linear_LORA:
@@ -99,7 +133,8 @@ class Linear_LORA:
 
 def merge_lora_into_params(params: dict, lora: dict) -> dict:
     """Fold adapters into the base weights (inference-time merge):
-    ``W' = W + scaling · A @ B`` per layer."""
+    ``W' = W + scaling · A @ B`` per layer; a merged tied ``lm_head`` is
+    untied (the delta breaks the embedding share)."""
     blocks = dict(params["language_model"]["model"]["blocks"])
     att = dict(blocks["att"])
     ff = dict(blocks["ff"])
@@ -123,7 +158,23 @@ def merge_lora_into_params(params: dict, lora: dict) -> dict:
     model = dict(lm["model"])
     model["blocks"] = blocks
     lm["model"] = model
-    return {**params, "language_model": lm}
+
+    def merged_flat(w, ad):
+        delta = jnp.matmul(ad["lora_a"], ad["lora_b"])
+        return (w + ad["scaling"] * delta).astype(w.dtype)
+
+    if "lm_head" in lora:
+        head_w = lm["lm_head"]["weight"]
+        if head_w is None:  # tied head: materialize, merge, untie
+            head_w = model["tok_emb"]["weight"].T
+        lm = {**lm, "lm_head": {"weight": merged_flat(head_w, lora["lm_head"])}}
+
+    out = {**params, "language_model": lm}
+    if "projector" in lora:
+        proj = dict(out["multi_modal_projector"]["linear"])
+        proj["weight"] = merged_flat(proj["weight"], lora["projector"])
+        out = {**out, "multi_modal_projector": {"linear": proj}}
+    return out
 
 
 class LoraTrainState(NamedTuple):
@@ -225,15 +276,24 @@ def save_lora_adapters(path: str, lora: dict) -> None:
     for name, ad in lora["blocks"].items():
         for leaf in ("lora_a", "lora_b", "scaling"):
             flat[f"blocks.{name}.{leaf}"] = np.asarray(ad[leaf])
+    for extra in ("lm_head", "projector"):
+        if extra in lora:
+            for leaf in ("lora_a", "lora_b", "scaling"):
+                flat[f"{extra}.{leaf}"] = np.asarray(lora[extra][leaf])
     save_file(flat, path)
 
 
 def load_lora_adapters(path: str) -> dict:
     from safetensors import safe_open
 
-    blocks: dict = {}
+    out: dict = {"blocks": {}}
     with safe_open(path, framework="np") as fh:
         for key in fh.keys():
-            _, name, leaf = key.split(".")
-            blocks.setdefault(name, {})[leaf] = jnp.asarray(fh.get_tensor(key))
-    return {"blocks": blocks}
+            parts = key.split(".")
+            if parts[0] == "blocks":
+                _, name, leaf = parts
+                out["blocks"].setdefault(name, {})[leaf] = jnp.asarray(fh.get_tensor(key))
+            else:  # flat adapters: lm_head / projector
+                name, leaf = parts
+                out.setdefault(name, {})[leaf] = jnp.asarray(fh.get_tensor(key))
+    return out

@@ -113,6 +113,79 @@ def test_grads_flow_only_to_adapters(tiny, batch):
     assert jax.tree.structure(grads) == jax.tree.structure(lora)
 
 
+def test_lm_head_adapter_grads_flow(tiny, batch):
+    """The README recipe wraps every language_model linear incl. lm_head
+    (reference Model/model.py:349-364): head adapter exists by default and
+    receives gradients."""
+    cfg, params = tiny
+    lora = init_lora_params(jax.random.PRNGKey(7), cfg.text_config, rank=4)
+    assert "lm_head" in lora
+    assert lora["lm_head"]["lora_a"].shape == (cfg.text_config.hidden_size, 4)
+    assert lora["lm_head"]["lora_b"].shape == (4, cfg.text_config.vocab_size)
+
+    def loss_fn(lora):
+        return vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                           pixel_values=batch["pixel_values"], labels=batch["labels"],
+                           lora=lora, impl="xla").loss
+
+    grads = jax.grad(loss_fn)(lora)
+    assert float(jnp.max(jnp.abs(grads["lm_head"]["lora_b"]))) > 0.0
+    # zero-B head adapter is identity at init
+    out_base = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                           pixel_values=batch["pixel_values"], impl="xla")
+    out_lora = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                           pixel_values=batch["pixel_values"], lora=lora, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_lora.logits), np.asarray(out_base.logits),
+                               atol=1e-6)
+
+
+def test_lm_head_and_projector_merge(tiny, batch):
+    cfg, params = tiny
+    lora = init_lora_params(jax.random.PRNGKey(9), cfg, rank=4, include_projector=True)
+    assert "projector" in lora
+    lora = jax.tree.map(lambda x: x + 0.01, lora)  # nonzero B everywhere
+    out_lora = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                           pixel_values=batch["pixel_values"], lora=lora, impl="xla")
+    merged = merge_lora_into_params(params, lora)
+    out_merged = vlm_forward(merged, cfg, input_ids=batch["input_ids"],
+                             pixel_values=batch["pixel_values"], impl="xla")
+    np.testing.assert_allclose(np.asarray(out_merged.logits), np.asarray(out_lora.logits),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_lm_head_merge_unties_tied_head(tiny, batch):
+    """Merging a head adapter into a tied-head model materializes an untied
+    lm_head equal to tok_emb.T + s·A@B."""
+    cfg, _ = tiny
+    from llama32mm_tpu import init_vlm_params as init_p
+
+    params = init_p(jax.random.PRNGKey(11), cfg, tie_weights=True)
+    assert params["language_model"]["lm_head"]["weight"] is None
+    lora = init_lora_params(jax.random.PRNGKey(12), cfg.text_config, rank=4)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    merged = merge_lora_into_params(params, lora)
+    w = merged["language_model"]["lm_head"]["weight"]
+    assert w is not None and w.shape == (cfg.text_config.hidden_size, cfg.vocab_size)
+    out_lora = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                           pixel_values=batch["pixel_values"], lora=lora, impl="xla")
+    out_merged = vlm_forward(merged, cfg, input_ids=batch["input_ids"],
+                             pixel_values=batch["pixel_values"], impl="xla")
+    np.testing.assert_allclose(np.asarray(out_merged.logits), np.asarray(out_lora.logits),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_adapter_save_load_includes_flat_adapters(tiny, tmp_path):
+    cfg, _ = tiny
+    lora = init_lora_params(jax.random.PRNGKey(13), cfg, rank=4, include_projector=True)
+    p = str(tmp_path / "adapters_full.safetensors")
+    save_lora_adapters(p, lora)
+    loaded = load_lora_adapters(p)
+    for extra in ("lm_head", "projector"):
+        for leaf in ("lora_a", "lora_b", "scaling"):
+            np.testing.assert_array_equal(np.asarray(lora[extra][leaf]),
+                                          np.asarray(loaded[extra][leaf]))
+
+
 def test_train_state_save_resume(tiny, batch, tmp_path):
     """Training resumed from a saved state continues identically."""
     from llama32mm_tpu.train.lora import load_train_state, save_train_state
