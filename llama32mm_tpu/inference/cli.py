@@ -79,8 +79,14 @@ def run_custom_inference(args: argparse.Namespace) -> str:
     inputs = processor([args.prompt], [image], padding=True)
 
     prompt_len = inputs["input_ids"].shape[1]
-    cache_len = prompt_len + args.max_new_tokens
-    engine = InferenceEngine(model.params, model.config, max_cache_length=cache_len)
+    # Cache capacity stays a 128-lane multiple (the cache seq axis is the
+    # minor dim of the decode score matrix — ragged lane tiles measured
+    # slower than the dead tail); auto-bucketing reuses the compiled program
+    # across prompt lengths within each 128-wide band.
+    cache_len = -(-(prompt_len + args.max_new_tokens) // 128) * 128
+    engine = InferenceEngine(
+        model.params, model.config, max_cache_length=cache_len, prompt_buckets="auto"
+    )
 
     result = engine.generate(
         inputs["input_ids"],

@@ -8,11 +8,19 @@ program over a preallocated cache. Mask/position bookkeeping is index
 arithmetic on static shapes (SURVEY §3.2).
 
 Fixed to intent:
-- decode positions = cache fill level (reference feeds RoPE position 0 for
-  every decoded token — SURVEY §2.9 #9);
+- decode positions continue each row's TRUE prompt length (reference feeds
+  RoPE position 0 for every decoded token — SURVEY §2.9 #9; and counting
+  right-padding slots would inflate the positional gap for short rows in a
+  ragged batch);
 - decode attends cached positions but keeps prompt padding blocked (the
   reference's growing-mask path crashes at step 2 and its working path
   attends padding — SURVEY §2.9 #8).
+
+Serving: ``prompt_buckets`` pads prompts up to a small set of static lengths
+so new prompt shapes reuse the compiled program instead of retracing the full
+ViT+decoder+while_loop pipeline (~minutes per shape on TPU). Bucketing is
+semantically transparent: RoPE positions derive from the true length and
+padded key slots stay masked.
 """
 
 from __future__ import annotations
@@ -99,19 +107,42 @@ class InferenceEngine:
         max_cache_length: Optional[int] = None,
         impl: str = "auto",
         kv_dtype: Optional[str] = None,
+        prompt_buckets=None,
     ):
         """``kv_dtype="int8"`` enables the quantized KV cache serving mode
         (int8 slots + per-position scales folded into attention — halves
         cache HBM traffic and capacity; slightly lossy, off the parity
-        path)."""
+        path).
+
+        ``prompt_buckets``: ``None`` (exact prompt shapes — one compile per
+        length), ``"auto"`` (pad up to the next 128-lane multiple — one
+        compile per 128-wide band, and the prefill matmul M-tiles stay
+        aligned), or an explicit ascending tuple of lengths."""
         if kv_dtype not in (None, "int8"):
             raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
+        if prompt_buckets is not None and prompt_buckets != "auto":
+            prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         self.params = params
         self.config = config
         self.max_cache_length = max_cache_length or config.text_config.max_cache_length
         self.impl = impl
         self.kv_dtype = kv_dtype
+        self.prompt_buckets = prompt_buckets
         self._generate_jit = {}
+
+    def _bucketed_len(self, s: int, max_new_tokens: int) -> int:
+        """Smallest bucket ≥ s whose generation still fits the cache; falls
+        back to the exact length when no bucket fits."""
+        if self.prompt_buckets is None:
+            return s
+        room = self.max_cache_length - max_new_tokens
+        if self.prompt_buckets == "auto":
+            cand = min(-(-s // 128) * 128, room)
+            return cand if cand >= s else s
+        for b in self.prompt_buckets:
+            if b >= s and b <= room:
+                return b
+        return s
 
     def _make_generate(self, max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image):
         cfg = self.config
@@ -127,10 +158,15 @@ class InferenceEngine:
             cache = init_kv_cache(tc, b, max_length=max_len, dtype=adtype)
 
             prefill_mask = structured_prefill_mask(padding_mask, max_len)
-            # last *valid* position per batch row (right padding); lm_head is
-            # computed only there — the full [B, S, vocab] prefill logits are
-            # never formed (TTFT: saves the S×V matmul + its HBM write).
-            last_pos = jnp.sum(padding_mask, axis=1).astype(jnp.int32) - 1
+            # true per-row prompt length (right padding): logits are read at
+            # the last valid position, and decode RoPE positions continue
+            # from here rather than from the padded length — so bucketing /
+            # ragged batches don't shift the query-key positional gap.
+            true_len = jnp.sum(padding_mask, axis=1).astype(jnp.int32)  # [B]
+            last_pos = true_len - 1
+            # lm_head computed only at last_pos — the full [B, S, vocab]
+            # prefill logits are never formed (TTFT: saves the S×V matmul +
+            # its HBM write).
             out = vlm_forward(
                 params,
                 cfg,
@@ -157,12 +193,13 @@ class InferenceEngine:
 
             def body(state):
                 i, tokens, done, count, cache, last, rng = state
-                # cache holds s + (i-1) tokens; the fed token lands at slot
-                # s+i-1, so after the write k < s+i slots are attendable and
-                # the fed token's RoPE position is s+i-1.
+                # Slot bookkeeping counts the padded prompt (the fed token
+                # lands at slot s+i-1; after the write k < s+i slots are
+                # attendable, pad slots stay blocked) — but the RoPE position
+                # continues each row's TRUE length: true_len + i - 1.
                 cur_total = s + i
                 mask = structured_decode_mask(padding_mask, cur_total, max_len)
-                pos = jnp.full((b, 1), cur_total - 1, dtype=jnp.int32)
+                pos = (true_len + (i - 1))[:, None].astype(jnp.int32)
                 step_out = vlm_forward(
                     params,
                     cfg,
@@ -206,9 +243,13 @@ class InferenceEngine:
             attention_mask = jnp.ones((b, s), dtype=jnp.int32)
         else:
             attention_mask = jnp.asarray(attention_mask)
-        # (Measured: padding the prompt to the 128 M-tile boundary wins ~15%
-        # on isolated prefill matmuls but nothing end-to-end — not worth the
-        # decode-position semantics shift. See scripts/bench_matmul_peak.py.)
+        # Bucket the prompt to a static length (compile reuse; positions stay
+        # exact because decode continues from the true length).
+        s_b = self._bucketed_len(s, max_new_tokens)
+        if s_b != s:
+            input_ids = jnp.pad(input_ids, ((0, 0), (0, s_b - s)))
+            attention_mask = jnp.pad(attention_mask, ((0, 0), (0, s_b - s)))
+            s = s_b
         if s + max_new_tokens > self.max_cache_length:
             raise ValueError(
                 f"prompt ({s}) + max_new_tokens ({max_new_tokens}) exceeds KV cache "
