@@ -42,17 +42,20 @@ def _flash_kernel(
     ks_ref,  # [1, 1, BK] f32 per-position key scales (int8-KV mode)
     vs_ref,  # [1, 1, BK] f32 per-position value scales
     o_ref,  # [1, BQ, hd]
-    m_scr,  # VMEM [BQ, 1] f32
-    l_scr,  # VMEM [BQ, 1] f32
-    acc_scr,  # VMEM [BQ, hd] f32
-    *,
+    *rest,  # emit_lse: (lse_ref [1, 1, BQ], m_scr, l_scr, acc_scr) else scratches
     inv_sqrt_d: float,
     bq: int,
     bk: int,
     tk: int,
     causal: bool,
     scaled_kv: bool,
+    emit_lse: bool = False,
 ):
+    if emit_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        lse_ref = None
+        m_scr, l_scr, acc_scr = rest
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -125,22 +128,24 @@ def _flash_kernel(
         l = l_scr[:]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        if emit_lse:
+            # Per-row logsumexp in logit (already /√d) space. Fully-masked
+            # rows get m = -BIG → backward recomputes p = exp(·-lse)·allowed
+            # = 0 there.
+            lse_ref[0, 0] = (m_scr[:, 0] + jnp.log(l[:, 0])).astype(lse_ref.dtype)
 
 
-def flash_gqa_attention(
-    q: jax.Array,  # [B, nq, Tq, hd]
-    k: jax.Array,  # [B, nkv, Tk, hd] — float, or int8 with scales given
-    v: jax.Array,  # [B, nkv, Tk, hd]
-    kv_valid: jax.Array,  # [B, Tk] (bool/int) — key-slot validity
-    q_offset,  # scalar int32 — absolute position of query row 0
-    causal: bool = True,
-    block_q: int = 512,
-    block_k: int = 1024,
-    k_scale: jax.Array = None,  # [B, nkv, Tk] fp32 (int8-KV serving mode)
-    v_scale: jax.Array = None,
-) -> jax.Array:
-    if (k_scale is None) != (v_scale is None):
-        raise ValueError("k_scale and v_scale must be given together (int8-KV mode)")
+def _flash_forward(
+    q, k, v, kv_valid, q_offset,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    k_scale=None,
+    v_scale=None,
+    emit_lse: bool = False,
+):
+    """Forward pallas_call. Returns ``out [B, nq, Tq, hd]`` (and, with
+    ``emit_lse``, the per-row logsumexp ``[B·nq, 1, Tq]`` in logit space)."""
     b, nq, tq, hd = q.shape
     nkv, tk = k.shape[1], k.shape[2]
     group = nq // nkv
@@ -178,10 +183,21 @@ def flash_gqa_attention(
 
     scale_bk = bk if scaled_kv else 128
 
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b * nq, tq, hd), q.dtype)
+    if emit_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, 1, bq), lambda bh, iq, ik: (bh, 0, iq), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * nq, 1, tq), jnp.float32)]
+
+    res = pl.pallas_call(
         functools.partial(
             _flash_kernel, inv_sqrt_d=1.0 / (hd**0.5), bq=bq, bk=bk, tk=tk,
-            causal=causal, scaled_kv=scaled_kv,
+            causal=causal, scaled_kv=scaled_kv, emit_lse=emit_lse,
         ),
         grid=grid,
         in_specs=[
@@ -197,10 +213,8 @@ def flash_gqa_attention(
             pl.BlockSpec((1, 1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, scale_bk), scale_ix, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * nq, tq, hd), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -220,4 +234,333 @@ def flash_gqa_attention(
         ),
         interpret=use_interpret(),
     )(qoff, q3, k3, v3, kvv, ks2, vs2)
-    return out.reshape(b, nq, tq, hd)
+    if emit_lse:
+        out, lse = res
+        return out.reshape(b, nq, tq, hd), lse
+    return res.reshape(b, nq, tq, hd)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (custom VJP — the reference ships backward kernels for its
+# fused ops, Tools/rmsnorm/rmsnorm.cuh:110-154; flash backward uses the saved
+# per-row logsumexp + recomputed probabilities, FlashAttention-2 style)
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    qoff_ref,  # SMEM [1, 1]
+    q_ref,  # [1, BQ, hd]
+    k_ref,  # [1, BK, hd]
+    v_ref,  # [1, BK, hd]
+    kvv_ref,  # [1, 1, BK]
+    lse_ref,  # [1, 1, BQ] f32
+    delta_ref,  # [1, 1, BQ] f32  (rowsum(dO·O))
+    do_ref,  # [1, BQ, hd]
+    dq_ref,  # [1, BQ, hd] out
+    dq_scr,  # VMEM [BQ, hd] f32
+    *,
+    inv_sqrt_d: float,
+    bq: int,
+    bk: int,
+    tk: int,
+    causal: bool,
+):
+    ik = pl.program_id(2)
+    iq = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    if causal:
+        qoff = qoff_ref[0, 0]
+        q_pos = qoff + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        relevant = (ik * bk) <= (qoff + (iq + 1) * bq - 1)
+    else:
+        q_pos = None
+        relevant = True
+
+    @pl.when(relevant)
+    def _():
+        q = q_ref[0]
+        k = k_ref[0].astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        allowed = (kvv_ref[0, 0] != 0)[None, :] & (k_pos < tk)
+        if causal:
+            allowed = allowed & (k_pos <= q_pos)
+        logits = jnp.where(allowed, s * inv_sqrt_d, _NEG_BIG)
+        lse = lse_ref[0, 0][:, None]  # [BQ, 1]
+        p = jnp.exp(logits - lse) * allowed.astype(jnp.float32)
+
+        do = do_ref[0]
+        # zero ragged V/K rows: p/ds columns there are 0, but 0·NaN = NaN
+        row_valid = (ik * bk + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)) < tk
+        v = jnp.where(row_valid, v_ref[0].astype(q.dtype), 0)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        delta = delta_ref[0, 0][:, None]
+        ds = p * (dp - delta) * inv_sqrt_d
+        k_m = jnp.where(row_valid, k, 0)
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), k_m,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    qoff_ref,  # SMEM [1, 1]
+    q_ref,  # [1, BQ, hd] — q-head row selected by index map
+    do_ref,  # [1, BQ, hd]
+    k_ref,  # [1, BK, hd]
+    v_ref,  # [1, BK, hd]
+    kvv_ref,  # [1, 1, BK]
+    lse_ref,  # [1, 1, BQ] f32
+    delta_ref,  # [1, 1, BQ] f32
+    dk_ref,  # [1, BK, hd] out
+    dv_ref,  # [1, BK, hd] out
+    dk_scr,  # VMEM [BK, hd] f32
+    dv_scr,  # VMEM [BK, hd] f32
+    *,
+    inv_sqrt_d: float,
+    bq: int,
+    bk: int,
+    tq: int,
+    tk: int,
+    n_tq: int,
+    causal: bool,
+):
+    ik = pl.program_id(1)
+    j = pl.program_id(2)  # g * n_tq + iq: sweeps the q-head group × q blocks
+    iq = jax.lax.rem(j, n_tq)
+
+    @pl.when(j == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    if causal:
+        qoff = qoff_ref[0, 0]
+        q_pos = qoff + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        relevant = (ik * bk) <= (qoff + (iq + 1) * bq - 1)
+    else:
+        q_pos = None
+        relevant = True
+
+    @pl.when(relevant)
+    def _():
+        # zero ragged q rows (beyond Tq): their lse/delta block slots hold
+        # garbage and would otherwise poison the dk/dv accumulation
+        q_row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        q_row_ok = q_row < tq  # [BQ, 1]
+        q = jnp.where(q_row_ok, q_ref[0], 0)
+        do = jnp.where(q_row_ok, do_ref[0], 0)
+        k = k_ref[0].astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        allowed = (kvv_ref[0, 0] != 0)[None, :] & (k_pos < tk)
+        if causal:
+            allowed = allowed & (k_pos <= q_pos)
+        logits = jnp.where(allowed, s * inv_sqrt_d, _NEG_BIG)
+        lse = lse_ref[0, 0][:, None]
+        p = jnp.exp(logits - lse) * allowed.astype(jnp.float32)
+        p = jnp.where(q_row_ok, p, 0.0)  # lse is garbage beyond Tq → NaN p
+
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(q.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # pᵀ @ dO: [BK, hd]
+
+        row_valid = (ik * bk + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)) < tk
+        v = jnp.where(row_valid, v_ref[0].astype(q.dtype), 0)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = delta_ref[0, 0][:, None]
+        ds = p * jnp.where(q_row_ok, dp - delta, 0.0) * inv_sqrt_d
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # dsᵀ @ q: [BK, hd]
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_valid, q_offset, o, lse, do, causal, block_q, block_k):
+    b, nq, tq, hd = q.shape
+    nkv, tk = k.shape[1], k.shape[2]
+    group = nq // nkv
+
+    bq = min(block_q, round_up(tq, 8))
+    bk = min(block_k, round_up(tk, 128))
+    n_tq, n_tk = cdiv(tq, bq), cdiv(tk, bk)
+
+    q3 = q.reshape(b * nq, tq, hd)
+    k3 = k.reshape(b * nkv, tk, hd)
+    v3 = v.reshape(b * nkv, tk, hd)
+    do3 = do.reshape(b * nq, tq, hd)
+    kvv = kv_valid.astype(jnp.int32)[:, None, :]
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
+    # delta_i = Σ_d dO_id · O_id (FlashAttention-2 eq. for dS) — cheap XLA op
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta3 = delta.reshape(b * nq, 1, tq)
+
+    smem = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+
+    def kv_head_ix(bh, iq, ik):
+        return ((bh // (nkv * group)) * nkv + (bh % (nkv * group)) // group, ik, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, inv_sqrt_d=1.0 / (hd**0.5), bq=bq, bk=bk,
+            tk=tk, causal=causal,
+        ),
+        grid=(b * nq, n_tq, n_tk),
+        in_specs=[
+            smem,
+            pl.BlockSpec((1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), kv_head_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), kv_head_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, bk),
+                lambda bh, iq, ik: (bh // (nkv * group), 0, ik),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, bq), lambda bh, iq, ik: (bh, 0, iq), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda bh, iq, ik: (bh, 0, iq), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, hd), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * nq, tq, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(qoff, q3, k3, v3, kvv, lse, delta3, do3)
+
+    # dk/dv: grid sweeps the q-head group × q blocks per (kv head, k block),
+    # accumulating in VMEM — no [B, nq, Tk, hd] per-q-head partials in HBM.
+    def q_row_ix(bkv, ik, j):
+        return ((bkv // nkv) * nq + (bkv % nkv) * group + j // n_tq, j % n_tq, 0)
+
+    def lse_row_ix(bkv, ik, j):
+        return ((bkv // nkv) * nq + (bkv % nkv) * group + j // n_tq, 0, j % n_tq)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, inv_sqrt_d=1.0 / (hd**0.5), bq=bq, bk=bk,
+            tq=tq, tk=tk, n_tq=n_tq, causal=causal,
+        ),
+        grid=(b * nkv, n_tk, group * n_tq),
+        in_specs=[
+            smem,
+            pl.BlockSpec((1, bq, hd), q_row_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hd), q_row_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda bkv, ik, j: (bkv, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda bkv, ik, j: (bkv, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, bk), lambda bkv, ik, j: (bkv // nkv, 0, ik), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, bq), lse_row_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lse_row_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, hd), lambda bkv, ik, j: (bkv, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda bkv, ik, j: (bkv, ik, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * nkv, tk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b * nkv, tk, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, hd), jnp.float32),
+            pltpu.VMEM((bk, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(qoff, q3, do3, k3, v3, kvv, lse, delta3)
+
+    return (
+        dq.reshape(b, nq, tq, hd),
+        dk.reshape(b, nkv, tk, hd),
+        dv.reshape(b, nkv, tk, hd),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_train(causal, block_q, block_k, q, k, v, kv_valid, q_offset):
+    return _flash_forward(q, k, v, kv_valid, q_offset, causal, block_q, block_k)
+
+
+def _flash_train_fwd(causal, block_q, block_k, q, k, v, kv_valid, q_offset):
+    out, lse = _flash_forward(
+        q, k, v, kv_valid, q_offset, causal, block_q, block_k, emit_lse=True
+    )
+    return out, (q, k, v, kv_valid, q_offset, out, lse)
+
+
+def _flash_train_bwd(causal, block_q, block_k, res, do):
+    import numpy as np
+
+    q, k, v, kv_valid, q_offset, out, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, kv_valid, q_offset, out, lse, do, causal, block_q, block_k
+    )
+    # integer primals take float0 cotangents
+    zero_kvv = np.zeros(kv_valid.shape, jax.dtypes.float0)
+    zero_off = np.zeros(jnp.shape(q_offset), jax.dtypes.float0)
+    return dq, dk, dv, zero_kvv, zero_off
+
+
+_flash_train.defvjp(_flash_train_fwd, _flash_train_bwd)
+
+
+def flash_gqa_attention(
+    q: jax.Array,  # [B, nq, Tq, hd]
+    k: jax.Array,  # [B, nkv, Tk, hd] — float, or int8 with scales given
+    v: jax.Array,  # [B, nkv, Tk, hd]
+    kv_valid: jax.Array,  # [B, Tk] (bool/int) — key-slot validity
+    q_offset,  # scalar int32 — absolute position of query row 0
+    causal: bool = True,
+    block_q: int = 512,
+    block_k: int = 1024,
+    k_scale: jax.Array = None,  # [B, nkv, Tk] fp32 (int8-KV serving mode)
+    v_scale: jax.Array = None,
+) -> jax.Array:
+    if (k_scale is None) != (v_scale is None):
+        raise ValueError("k_scale and v_scale must be given together (int8-KV mode)")
+    if k_scale is None:
+        # float path: differentiable (custom VJP — FlashAttention-2-style
+        # backward over the same structured masks)
+        kv_valid = kv_valid.astype(jnp.int32)
+        q_offset = jnp.asarray(q_offset, jnp.int32)
+        return _flash_train(causal, block_q, block_k, q, k, v, kv_valid, q_offset)
+    # int8-KV serving path (inference-only; no gradient defined)
+    return _flash_forward(
+        q, k, v, kv_valid, q_offset, causal, block_q, block_k,
+        k_scale=k_scale, v_scale=v_scale,
+    )

