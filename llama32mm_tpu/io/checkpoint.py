@@ -408,8 +408,17 @@ def save_checkpoint_params(
     """Inverse of ``load_checkpoint_params``: write the param tree back out as
     HF-named safetensors shards + config.json, so checkpoints round-trip
     through this framework (the reference is load-only — SURVEY §5
-    'Checkpoint/resume')."""
+    'Checkpoint/resume').
+
+    Only the canonical (unfused, unquantized) training tree is saveable —
+    int8-quantized or serving-fused (W_qkv/w_gateup) leaves raise instead of
+    silently dropping decoder weights. Output exceeding ``max_shard_bytes``
+    is split into ``model-XXXXX-of-XXXXX.safetensors`` shards with a
+    ``model.safetensors.index.json`` (HF layout); a single shard keeps the
+    plain ``model.safetensors`` name."""
     from safetensors.numpy import save_file
+
+    from llama32mm_tpu.ops.quant import is_quantized
 
     os.makedirs(model_path, exist_ok=True)
 
@@ -435,6 +444,19 @@ def save_checkpoint_params(
     def walk(node, path):
         for name, leaf in node.items():
             p = path + (name,)
+            if name in ("W_qkv", "w_gateup"):
+                raise ValueError(
+                    f"cannot save serving-fused weight at {'.'.join(p)}: the fused "
+                    "[H, tp, chunk] layout has no HF key. Save the canonical tree "
+                    "(keep a reference to the pre-fuse params, or rebuild with "
+                    "models.fuse disabled)."
+                )
+            if is_quantized(leaf):
+                raise ValueError(
+                    f"cannot save int8-quantized weight at {'.'.join(p)}: checkpoints "
+                    "store the canonical float tree. Dequantize first "
+                    "(ops.quant.dequantize_weight) or save before quantize_llama_params."
+                )
             if isinstance(leaf, dict):
                 walk(leaf, p)
                 continue
@@ -465,8 +487,37 @@ def save_checkpoint_params(
 
     walk(params, ())
 
+    # Shard planning: greedy fill up to max_shard_bytes per file (a tensor
+    # larger than the limit gets its own shard).
+    shards: List[Dict[str, np.ndarray]] = [{}]
+    shard_bytes = [0]
+    for key, arr in tensors.items():
+        nb = arr.nbytes
+        if shard_bytes[-1] > 0 and shard_bytes[-1] + nb > max_shard_bytes:
+            shards.append({})
+            shard_bytes.append(0)
+        shards[-1][key] = arr
+        shard_bytes[-1] += nb
+
     # bf16 → raw-bit-compatible ml_dtypes arrays save fine via safetensors.numpy
-    save_file(tensors, os.path.join(model_path, "model.safetensors"))
+    if len(shards) == 1:
+        save_file(shards[0], os.path.join(model_path, "model.safetensors"))
+    else:
+        n = len(shards)
+        weight_map = {}
+        for i, shard in enumerate(shards):
+            fname = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+            save_file(shard, os.path.join(model_path, fname))
+            for key in shard:
+                weight_map[key] = fname
+        index = {
+            "metadata": {"total_size": int(sum(shard_bytes))},
+            "weight_map": weight_map,
+        }
+        with open(
+            os.path.join(model_path, "model.safetensors.index.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(index, f, indent=2)
 
     tc, vc = config.text_config, config.vision_config
     cfg_json = {

@@ -13,6 +13,7 @@
 //   stro_num_tensors(handle)   -> n
 //   stro_name(handle, i)       -> tensor name
 //   stro_info(handle, name, dtype_out[16], shape_out[8], &ndim, &nbytes)
+//   stro_data_offset(handle, name) -> absolute file offset of payload | -1
 //                              -> data pointer | NULL
 //   stro_close(handle)
 //
@@ -281,6 +282,16 @@ const uint8_t* stro_info(void* h, const char* name, char* dtype_out,
   *ndim_out = nd;
   *nbytes_out = tm.end - tm.begin;
   return r->data + tm.begin;
+}
+
+int64_t stro_data_offset(void* h, const char* name) {
+  // Absolute file offset of the tensor's payload — lets bindings map the
+  // file themselves (e.g. through a lifetime-tracked buffer) instead of
+  // borrowing this reader's mapping.
+  auto* r = static_cast<Reader*>(h);
+  auto it = r->tensors.find(name);
+  if (it == r->tensors.end()) return -1;
+  return static_cast<int64_t>(r->data - r->base) + it->second.begin;
 }
 
 void stro_close(void* h) {

@@ -257,3 +257,66 @@ def _flat(tree, path=()):
             yield from _flat(v, path + (k,))
         elif v is not None:
             yield path + (k,), v
+
+
+def test_save_rejects_quantized_and_fused_trees(tmp_path):
+    """ADVICE r1 (medium): saving a serving-transformed tree must raise, not
+    silently drop every decoder linear."""
+    import jax
+    import pytest as _pytest
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+    from llama32mm_tpu.models.fuse import fuse_decoder_params
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg, tie_weights=False)
+
+    qparams = quantize_llama_params(params)
+    with _pytest.raises(ValueError, match="quantized"):
+        save_checkpoint_params(str(tmp_path / "q"), qparams, cfg)
+
+    fused = fuse_decoder_params(params, cfg.text_config, tp=1)
+    with _pytest.raises(ValueError, match="fused"):
+        save_checkpoint_params(str(tmp_path / "f"), fused, cfg)
+
+
+def test_sharded_save_writes_index_and_roundtrips(tmp_path):
+    """max_shard_bytes below the model size → HF-style shard files + index
+    json; the loader (globbing *.safetensors) reproduces the tree."""
+    import json
+    import os
+
+    import jax
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(7), cfg, tie_weights=False)
+    save_checkpoint_params(str(tmp_path), params, cfg, max_shard_bytes=256 * 1024)
+
+    files = sorted(os.listdir(tmp_path))
+    shard_files = [f for f in files if f.endswith(".safetensors")]
+    assert len(shard_files) > 1, files
+    assert "model.safetensors" not in files
+    assert "model.safetensors.index.json" in files
+    with open(tmp_path / "model.safetensors.index.json") as f:
+        index = json.load(f)
+    assert set(index["weight_map"].values()) == set(shard_files)
+    assert index["metadata"]["total_size"] > 0
+
+    loaded = load_checkpoint_params(str(tmp_path), cfg, verbose=False)
+
+    def check(a, b, path=""):
+        for k in a:
+            if isinstance(a[k], dict):
+                check(a[k], b[k], path + "/" + k)
+            elif a[k] is not None:
+                np.testing.assert_allclose(
+                    np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+                    atol=1e-6, err_msg=path + "/" + k,
+                )
+
+    check(params, loaded)

@@ -38,6 +38,7 @@ def test_native_reader_roundtrip(shard):
         for name, want in tensors.items():
             got, st_dtype = f.get_tensor(name)
             np.testing.assert_array_equal(np.array(got), want)
+            del got  # views must be released before the reader closes
 
 
 def test_native_reader_missing_key(shard):
@@ -119,3 +120,43 @@ def test_checkpoint_loader_uses_native(tmp_path):
         tensors["language_model.model.layers.0.self_attn.q_proj.weight"].T,
         atol=1e-6,
     )
+
+
+def test_retained_view_fails_loudly(shard):
+    """copy=False contract guard (VERDICT r1 #10): a view retained past the
+    generator's lifetime raises RuntimeError at reader close instead of
+    silently reading unmapped pages."""
+    path, tensors = shard
+    if not native_available():
+        pytest.skip("native reader unavailable")
+    leaked = []
+    with pytest.raises(RuntimeError, match="outlived"):
+        for name, arr in iter_tensors(path, copy=False):
+            if name == "a.weight":
+                leaked.append(arr)  # F32 → raw view; retaining it is misuse
+    assert leaked  # the guard fired because of this reference
+
+
+def test_last_tensor_is_safe_to_retain(shard):
+    """The final yield is a copy, so a normal `for name, t in iter_tensors`
+    loop (whose loop variable survives the loop) never trips the guard."""
+    path, tensors = shard
+    if not native_available():
+        pytest.skip("native reader unavailable")
+    name, arr = None, None
+    for name, arr in iter_tensors(path, copy=False):
+        pass
+    assert name is not None
+    _ = float(np.sum(arr))  # readable after the reader closed
+
+
+def test_direct_reader_close_guard(shard):
+    path, _ = shard
+    if not native_available():
+        pytest.skip("native reader unavailable")
+    r = NativeSafetensors(path)
+    view, _dt = r.get_tensor("a.weight")
+    with pytest.raises(RuntimeError, match="outlived"):
+        r.close()
+    del view
+    r.close()  # now clean
