@@ -201,3 +201,30 @@ def test_90b_layout_shards_evenly():
     # fused serving layout too (tp must divide heads/kv/intermediate)
     tc = cfg.text_config
     assert tc.n_heads % 8 == 0 and tc.n_kv_groups % 8 == 0 and tc.hidden_dim % 8 == 0
+
+
+def test_sharded_int8_kv_engine_decode_matches(tiny):
+    """Full int8 serving mode (int8 weights + int8 KV cache) over a dp×tp
+    mesh: the engine's while_loop decode produces tokens identical to the
+    single-device int8 run (VERDICT r1 #5 — executed, not layout-checked)."""
+    from llama32mm_tpu.inference.engine import InferenceEngine
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    cfg, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(21), (2, 10), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :4].set(cfg.image_token_index)
+    px = jax.random.normal(jax.random.PRNGKey(22), (2, 3, 28, 28))
+
+    qparams = quantize_llama_params(params)
+    ref = InferenceEngine(qparams, cfg, max_cache_length=32, kv_dtype="int8").generate(
+        ids, px, max_new_tokens=6, eos_token_id=-1
+    )
+
+    mesh = create_mesh(dp=2, tp=2)
+    sharded = shard_params(qparams, cfg, mesh)
+    got = InferenceEngine(sharded, cfg, max_cache_length=32, kv_dtype="int8").generate(
+        jax.device_put(ids, data_sharding(mesh, 2)),
+        jax.device_put(px, data_sharding(mesh, 4)),
+        max_new_tokens=6, eos_token_id=-1,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
