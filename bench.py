@@ -5,10 +5,20 @@ Headline: single-image VLM decode tokens/sec/chip (BASELINE.md north star:
 ``vs_baseline`` reports measured/roofline).
 
 On the single available chip an 11B bf16 model does not fit in a v5e's 16 GB
-HBM, so the bench config uses Llama-3.2-3B text shapes under the full ViT-H/14
-vision tower; the roofline is computed for the same config, making the
-fraction hardware-meaningful. Also reports p50 TTFT (prefill incl. on-device
-image preprocess from raw uint8 pixels — the second north-star metric).
+HBM, so the bf16 bench config uses Llama-3.2-3B text shapes under the full
+ViT-H/14 vision tower; the roofline is computed for the same config, making
+the fraction hardware-meaningful. The 11B north-star shapes ARE measured in
+int8 serving mode (int8 weights + int8 KV ≈ 9.3 GB — fits), reported against
+their own int8 roofline. Also reports p50 TTFT (prefill incl. on-device image
+preprocess from raw uint8 pixels — the second north-star metric) and int8
+QUALITY vs bf16 (teacher-forced top-1 agreement + mean |Δlogit| over the
+generated span) so the int8 speed numbers aren't blind.
+
+Measurement method (hardened, round 2): decode rate comes from the difference
+of two full generates (prefill cost cancels) over a 112-token window, median
+of 7 reps with the IQR reported as ``decode_tps_spread``; device→host fetch
+is the sync point (block_until_ready can return early through the axon
+tunnel).
 """
 
 from __future__ import annotations
@@ -21,19 +31,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llama32mm_tpu.configs import LLAMA32Config, MLLAMAConfig, VisionEncoderConfig
+from llama32mm_tpu.configs import (
+    LLAMA32Config,
+    MLLAMAConfig,
+    VisionEncoderConfig,
+    llama32_11b_vision_config,
+)
 from llama32mm_tpu.inference.engine import InferenceEngine
-from llama32mm_tpu.models.vlm import init_vlm_params
+from llama32mm_tpu.models.vlm import init_vlm_params, vlm_forward
 from llama32mm_tpu.preprocess.image import preprocess_image_device
 
-MAX_NEW = 64
+MAX_NEW = 128
 SHORT_NEW = 16
+REPS = 7
 PROMPT_TEXT_LEN = 32
 # Cache sized to request capacity rounded UP to the 128-lane tile (the cache
 # seq axis is the minor dim of the decode score matrix — 1696 measured slower
 # than 1792 despite streaming less KV, because ragged lane tiles cost more
 # than the 96 dead slots; dead tail beyond that is pure HBM waste).
 CACHE_LEN = 1792
+QUALITY_SPAN = 64  # teacher-forced positions for the int8-quality comparison
 
 # HBM bandwidth per chip (GB/s) for roofline
 _HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v5p": 2765.0, "v4": 1228.0}
@@ -58,22 +75,372 @@ def bench_config(dtype: str = "bfloat16") -> MLLAMAConfig:
     )
 
 
-def decode_roofline_tokens_per_sec(cfg: MLLAMAConfig, mean_ctx: int, hbm_gbps: float) -> float:
-    """Decode is HBM-bound: every step streams the decoder weights + lm_head +
-    the live KV prefix."""
+def decode_step_bytes(cfg: MLLAMAConfig, mean_ctx: int, weight_bytes: int = 2,
+                      kv_bytes: int = 2, head_bytes: int = None) -> float:
+    """HBM bytes one decode step must stream: decoder weights + lm_head + the
+    live KV prefix (+ fp32 per-channel / per-position scales in int8 modes)."""
     tc = cfg.text_config
-    bytes_per_el = 2 if tc.dtype in ("bfloat16", "float16") else 4
-    per_layer = (
+    head_bytes = weight_bytes if head_bytes is None else head_bytes
+    per_layer_weights = (
         tc.hidden_size * tc.n_heads * tc.head_dim  # Wq
         + 2 * tc.hidden_size * tc.n_kv_groups * tc.head_dim  # Wk, Wv
         + tc.n_heads * tc.head_dim * tc.hidden_size  # Wo
         + 3 * tc.hidden_size * tc.hidden_dim  # gate, up, down
-        + 2 * tc.hidden_size  # norms
     )
-    weights = tc.n_layers * per_layer + tc.hidden_size * tc.vocab_size  # + lm_head
-    kv = tc.n_layers * 2 * tc.n_kv_groups * tc.head_dim * mean_ctx
-    step_bytes = (weights + kv) * bytes_per_el
-    return hbm_gbps * 1e9 / step_bytes
+    per_layer_scales = (
+        tc.n_heads * tc.head_dim + 2 * tc.n_kv_groups * tc.head_dim
+        + tc.hidden_size + 2 * tc.hidden_dim + tc.hidden_size
+    )
+    norms = tc.n_layers * 2 * tc.hidden_size * 2  # norms stay bf16
+    weights = tc.n_layers * per_layer_weights * weight_bytes + norms
+    if weight_bytes == 1:
+        weights += tc.n_layers * per_layer_scales * 4  # fp32 scales
+    head = tc.hidden_size * tc.vocab_size * head_bytes
+    if head_bytes == 1:
+        head += tc.vocab_size * 4
+    kv = tc.n_layers * 2 * tc.n_kv_groups * tc.head_dim * mean_ctx * kv_bytes
+    if kv_bytes == 1:
+        kv += tc.n_layers * 2 * tc.n_kv_groups * mean_ctx * 4  # per-position scales
+    return float(weights + head + kv)
+
+
+def decode_roofline_tokens_per_sec(cfg: MLLAMAConfig, mean_ctx: int, hbm_gbps: float,
+                                   **kw) -> float:
+    return hbm_gbps * 1e9 / decode_step_bytes(cfg, mean_ctx, **kw)
+
+
+def make_inputs(cfg, seed=1):
+    tc = cfg.text_config
+    n_img = tc.num_image_tokens
+    s = n_img + PROMPT_TEXT_LEN
+    ids = jax.random.randint(jax.random.PRNGKey(seed), (1, s), 0, tc.vocab_size - 10)
+    ids = ids.at[:, :n_img].set(cfg.image_token_index)
+    raw = jax.random.randint(
+        jax.random.PRNGKey(seed + 1),
+        (1, cfg.vision_config.image_size, cfg.vision_config.image_size, 3),
+        0, 255, jnp.int32,
+    ).astype(jnp.uint8)
+    return ids, raw, s
+
+
+def timed_median(fn, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts)
+    return float(np.percentile(ts, 50)), ts
+
+
+def engine_decode_rate(engine, ids, px, reps=REPS, max_new=MAX_NEW, short=SHORT_NEW):
+    """Decode tok/s from the difference of two full generates (prefill cost
+    cancels; robust to tunnel timing noise). Returns (median_tps, spread_tps)
+    where spread is the IQR of per-pair rates."""
+
+    def run(n):
+        return np.asarray(
+            engine.generate(
+                ids, px, max_new_tokens=n, temperature=0.0, eos_token_id=-1,
+                rng=jax.random.PRNGKey(0),
+            ).tokens
+        )
+
+    run(short)
+    run(max_new)  # warm both programs
+    _, t_s = timed_median(lambda: run(short), reps)
+    _, t_l = timed_median(lambda: run(max_new), reps)
+    med = (max_new - short) / max(np.percentile(t_l, 50) - np.percentile(t_s, 50), 1e-9)
+    # spread: pairwise rates from matched reps (conservative noise estimate)
+    pair = (max_new - short) / np.maximum(np.sort(t_l) - np.sort(t_s), 1e-9)
+    q1, q3 = np.percentile(pair, 25), np.percentile(pair, 75)
+    return float(med), float(q3 - q1)
+
+
+def teacher_forced_logits(params, cfg, ext_ids, px, span, kv_dtype=None):
+    """Logits at the last ``span`` next-token positions of ``ext_ids`` (one
+    prefill; optionally through an int8 KV cache to include its error)."""
+    from llama32mm_tpu.utils.kvcache import init_kv_cache
+    from llama32mm_tpu.inference.engine import structured_prefill_mask
+
+    tc = cfg.text_config
+    b, s = ext_ids.shape
+    positions = jnp.arange(s - span - 1, s - 1)[None, :]
+
+    @jax.jit
+    def fwd(params, ids, px):
+        kv = None
+        mask = None
+        if kv_dtype is not None:
+            kv = init_kv_cache(tc, b, max_length=CACHE_LEN, dtype=jnp.int8)
+            mask = structured_prefill_mask(jnp.ones((b, s), jnp.int32), CACHE_LEN)
+        out = vlm_forward(
+            params, cfg, input_ids=ids, pixel_values=px, attention_mask=mask,
+            kv_cache=kv, logits_positions=positions,
+        )
+        return out.logits.astype(jnp.float32)
+
+    return np.asarray(fwd(params, ext_ids, px))
+
+
+def main() -> None:
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown").lower()
+    hbm_gbps = next((v for k, v in _HBM_GBPS.items() if k in kind.replace(" ", "")), 819.0)
+
+    dtype = "bfloat16" if backend == "tpu" else "float32"
+    cfg = bench_config(dtype)
+    tc = cfg.text_config
+
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+    # (Serving fusion — models/fuse.py — measured a wash at decode and +3 ms
+    # TTFT on 1 chip via scripts/bench_fuse_ab.py, so the bench serves the
+    # unfused layout; fusion stays available for multi-chip serving.)
+
+    ids, raw, s = make_inputs(cfg)
+
+    engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN)
+
+    @jax.jit
+    def preprocess(raw):
+        return preprocess_image_device(raw, cfg.vision_config.image_size, tc.jnp_dtype)
+
+    px = preprocess(raw)
+
+    def run(max_new):
+        return np.asarray(
+            engine.generate(
+                ids, preprocess(raw), max_new_tokens=max_new, temperature=0.0,
+                eos_token_id=-1, rng=jax.random.PRNGKey(0),
+            ).tokens
+        )
+
+    # Warmup / compile TTFT program, then measure (preprocess + prefill +
+    # first token in one program).
+    run(1)
+    ttft_p50, _ = timed_median(lambda: run(1), 5)
+
+    decode_tps, decode_spread = engine_decode_rate(engine, ids, px)
+
+    batch_tps = None
+    if os.environ.get("BENCH_BATCH"):
+        batch_tps = batched_throughput(cfg, params, raw, preprocess, batch=8)
+
+    mean_ctx = s + MAX_NEW // 2
+    roofline = decode_roofline_tokens_per_sec(cfg, mean_ctx, hbm_gbps)
+    # Effective HBM rate the decode actually sustains (bytes it must stream
+    # per step × measured steps/s). For context: a pure 4.3 GB streaming
+    # reduce on this chip measures ~610 GB/s (74.5% of nominal 819 —
+    # scripts/bench_hbm_peak.py), so decode above that is at the practical
+    # bandwidth ceiling even when the nominal-roofline fraction reads <90%.
+    effective_gbps = decode_step_bytes(cfg, mean_ctx) * decode_tps / 1e9
+
+    # --- int8 quality inputs: teacher-forced span from the bf16 greedy run
+    # (computed with the bf16 params BEFORE they are donated to quantization;
+    # reuses the already-compiled 128-token program)
+    bf16_tokens = run(MAX_NEW)[:, :QUALITY_SPAN]
+    ext_ids = jnp.concatenate([ids, jnp.asarray(bf16_tokens)], axis=1)
+    logits_bf16 = teacher_forced_logits(params, cfg, ext_ids, px, QUALITY_SPAN)
+
+    # --- full int8 serving mode: int8 weights + int8 KV cache ---
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    # Free the bf16 serving state as the int8 copy is built: the bf16 engine
+    # (and its cached executables) first, then each donated decoder weight —
+    # both full weight sets never coexist in HBM (16 GB v5e).
+    del engine
+    qparams = quantize_llama_params(params, free_originals=True)
+    params = None
+
+    logits_int8 = teacher_forced_logits(qparams, cfg, ext_ids, px, QUALITY_SPAN)
+    logits_int8kv = teacher_forced_logits(
+        qparams, cfg, ext_ids, px, QUALITY_SPAN, kv_dtype="int8"
+    )
+
+    def quality(a, b):
+        top1 = float(np.mean(np.argmax(a, -1) == np.argmax(b, -1)))
+        dlogit = float(np.mean(np.abs(a - b)))
+        return top1, dlogit
+
+    int8_top1, int8_dlogit = quality(logits_bf16, logits_int8)
+    int8kv_top1, int8kv_dlogit = quality(logits_bf16, logits_int8kv)
+
+    qengine = InferenceEngine(qparams, cfg, max_cache_length=CACHE_LEN, kv_dtype="int8")
+    q_decode_tps, q_spread = engine_decode_rate(qengine, ids, px, reps=5)
+    del qengine
+    qparams = None
+
+    # --- 11B north-star shapes in int8 serving mode (fits the 16 GB chip:
+    # ~9.3 GB int8 decoder+head, bf16 embeddings/vision; weights are random
+    # int8 — identical speed, no 21 GB bf16 intermediate ever exists) ---
+    m11b = {}
+    if backend == "tpu" and not os.environ.get("BENCH_SKIP_11B"):
+        import gc
+        import sys
+
+        gc.collect()
+        jax.clear_caches()  # drop 3B executables + their donated-buffer refs
+        try:
+            used = jax.devices()[0].memory_stats().get("bytes_in_use", 0)
+            print(f"[bench] HBM in use before 11B section: {used/1e9:.2f} GB",
+                  file=sys.stderr)
+        except Exception:
+            pass
+        cfg11 = llama32_11b_vision_config(max_cache_length=CACHE_LEN)
+        m11b = bench_11b_int8(cfg11, hbm_gbps)
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_per_chip",
+                "value": round(decode_tps, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(decode_tps / roofline, 4),
+                "roofline_tokens_per_sec": round(roofline, 2),
+                "decode_tps_spread": round(decode_spread, 2),
+                "reps": REPS,
+                "effective_hbm_gbps": round(effective_gbps, 1),
+                # one-off streaming-reduce measurement of THIS dev chip
+                # (scripts/bench_hbm_peak.py) — only meaningful on v5e
+                **({"measured_stream_peak_gbps": 609.8} if "v5" in kind else {}),
+                "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
+                "int8_decode_tokens_per_sec": round(q_decode_tps, 2),
+                "int8_vs_bf16_roofline": round(q_decode_tps / roofline, 4),
+                # int8 quality vs bf16 (teacher-forced over the 64-token
+                # generated span; random-init weights = near-worst-case logit
+                # margins, real checkpoints agree more)
+                "int8_top1_agreement": round(int8_top1, 4),
+                "int8_mean_abs_dlogit": round(int8_dlogit, 4),
+                "int8kv_top1_agreement": round(int8kv_top1, 4),
+                "int8kv_mean_abs_dlogit": round(int8kv_dlogit, 4),
+                **({"batch8_decode_tokens_per_sec": round(batch_tps, 1)} if batch_tps else {}),
+                **m11b,
+                "config": "llama3.2-3B-text+ViT-H/14@560, bf16, 1 chip",
+                "backend": backend,
+                "device_kind": kind,
+                "prompt_len": s,
+                "max_new_tokens": MAX_NEW,
+            }
+        )
+    )
+
+
+def random_int8_vlm_params(cfg: MLLAMAConfig):
+    """Random params with the decoder linears directly int8 (+fp32 scales) —
+    generated on HOST and device_put leaf-by-leaf, so neither bf16 originals
+    nor RNG transients ever touch HBM (11B int8 ≈ 9.3 GB fits a 16 GB v5e
+    only if nothing else does)."""
+    import ml_dtypes
+
+    tc = cfg.text_config
+    rng = np.random.default_rng(0)
+    dt = tc.jnp_dtype
+
+    def put(x):
+        return jax.device_put(x)
+
+    def qleaf(shape, out_dim):
+        q = rng.integers(-127, 128, shape, dtype=np.int8)
+        scale_shape = shape[:1] + (out_dim,) if len(shape) == 3 else (out_dim,)
+        return {"q": put(q), "scale": put(np.full(scale_shape, 0.008, np.float32))}
+
+    def bf16(shape, scale=0.02):
+        return put(((rng.random(shape, np.float32) * 2 - 1) * scale).astype(ml_dtypes.bfloat16))
+
+    h, hd, nq, nkv, inter, L = (
+        tc.hidden_size, tc.head_dim, tc.n_heads, tc.n_kv_groups, tc.hidden_dim, tc.n_layers
+    )
+    blocks = {
+        "norm1": {"weight": put(np.ones((L, h), ml_dtypes.bfloat16))},
+        "att": {
+            "W_query": {"weight": qleaf((L, h, nq * hd), nq * hd)},
+            "W_key": {"weight": qleaf((L, h, nkv * hd), nkv * hd)},
+            "W_value": {"weight": qleaf((L, h, nkv * hd), nkv * hd)},
+            "out_proj": {"weight": qleaf((L, nq * hd, h), h)},
+        },
+        "norm2": {"weight": put(np.ones((L, h), ml_dtypes.bfloat16))},
+        "ff": {
+            "swiglu": {
+                "w_gate": qleaf((L, h, inter), inter),
+                "w_up": qleaf((L, h, inter), inter),
+            },
+            "w_down": {"weight": qleaf((L, inter, h), h)},
+        },
+    }
+    vc = cfg.vision_config
+    d, vi, vL, p = vc.hidden_size, vc.intermediate_size, vc.num_hidden_layers, vc.patch_size
+
+    def vlin(n_in, n_out):
+        return {"weight": bf16((vL, n_in, n_out)), "bias": put(np.zeros((vL, n_out), ml_dtypes.bfloat16))}
+
+    def vln():
+        return {"weight": put(np.ones((vL, d), ml_dtypes.bfloat16)),
+                "bias": put(np.zeros((vL, d), ml_dtypes.bfloat16))}
+
+    vision = {
+        "embeddings": {
+            "patch_embedding": {"weight": bf16((vc.num_channels * p * p, d))},
+            "position_embedding": {"weight": bf16((vc.num_patches, d))},
+        },
+        "layers": {
+            "layernorm1": vln(),
+            "self_attn": {k: vlin(d, d) for k in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "layernorm2": vln(),
+            "mlp": {"fc1": vlin(d, vi), "fc2": vlin(vi, d)},
+        },
+        "post_layernorm": {"weight": put(np.ones((d,), ml_dtypes.bfloat16)),
+                           "bias": put(np.zeros((d,), ml_dtypes.bfloat16))},
+    }
+    return {
+        "vision_model": vision,
+        "multi_modal_projector": {
+            "linear": {"weight": bf16((d, h)), "bias": put(np.zeros((h,), ml_dtypes.bfloat16))}
+        },
+        "language_model": {
+            "model": {"tok_emb": {"weight": bf16((tc.vocab_size, h))}, "blocks": blocks,
+                      "final_norm": {"weight": put(np.ones((h,), ml_dtypes.bfloat16))}},
+            "lm_head": {"weight": qleaf((h, tc.vocab_size), tc.vocab_size)},
+        },
+    }
+
+
+def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
+    tc = cfg11.text_config
+    params = random_int8_vlm_params(cfg11)
+    ids, raw, s = make_inputs(cfg11, seed=5)
+
+    @jax.jit
+    def preprocess(raw):
+        return preprocess_image_device(raw, cfg11.vision_config.image_size, tc.jnp_dtype)
+
+    px = preprocess(raw)
+    engine = InferenceEngine(params, cfg11, max_cache_length=CACHE_LEN, kv_dtype="int8")
+
+    def run(max_new):
+        return np.asarray(
+            engine.generate(
+                ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1,
+                rng=jax.random.PRNGKey(0),
+            ).tokens
+        )
+
+    run(1)
+    ttft, _ = timed_median(lambda: run(1), 5)
+    tps, spread = engine_decode_rate(engine, ids, px, reps=5, max_new=64, short=16)
+    mean_ctx = s + 32
+    roofline = decode_roofline_tokens_per_sec(
+        cfg11, mean_ctx, hbm_gbps, weight_bytes=1, kv_bytes=1, head_bytes=1
+    )
+    return {
+        "m11b_int8_decode_tokens_per_sec": round(tps, 2),
+        "m11b_int8_decode_spread": round(spread, 2),
+        "m11b_int8_roofline_tokens_per_sec": round(roofline, 2),
+        "m11b_int8_vs_roofline": round(tps / roofline, 4),
+        "m11b_int8_ttft_p50_ms": round(ttft * 1e3, 1),
+        "m11b_config": "llama3.2-11B-Vision shapes, int8 weights + int8 KV, 1 chip",
+    }
 
 
 def batched_throughput(cfg, params, raw, preprocess, batch: int = 8) -> float:
@@ -109,149 +476,6 @@ def batched_throughput(cfg, params, raw, preprocess, batch: int = 8) -> float:
 
     per_seq = (MAX_NEW - SHORT_NEW) / max(p50(MAX_NEW) - p50(SHORT_NEW), 1e-9)
     return per_seq * batch
-
-
-def main() -> None:
-    backend = jax.default_backend()
-    dev = jax.devices()[0]
-    kind = getattr(dev, "device_kind", "unknown").lower()
-    hbm_gbps = next((v for k, v in _HBM_GBPS.items() if k in kind.replace(" ", "")), 819.0)
-
-    dtype = "bfloat16" if backend == "tpu" else "float32"
-    cfg = bench_config(dtype)
-    tc = cfg.text_config
-
-    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(params)
-    # (Serving fusion — models/fuse.py — measured a wash at decode and +3 ms
-    # TTFT on 1 chip via scripts/bench_fuse_ab.py, so the bench serves the
-    # unfused layout; fusion stays available for multi-chip serving.)
-
-    n_img = tc.num_image_tokens
-    s = n_img + PROMPT_TEXT_LEN
-    ids = jax.random.randint(jax.random.PRNGKey(1), (1, s), 0, tc.vocab_size - 10)
-    ids = ids.at[:, :n_img].set(cfg.image_token_index)
-    raw = jax.random.randint(
-        jax.random.PRNGKey(2), (1, cfg.vision_config.image_size, cfg.vision_config.image_size, 3),
-        0, 255, jnp.int32,
-    ).astype(jnp.uint8)
-
-    engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN)
-
-    @jax.jit
-    def preprocess(raw):
-        return preprocess_image_device(raw, cfg.vision_config.image_size, tc.jnp_dtype)
-
-    def run(max_new):
-        px = preprocess(raw)
-        return engine.generate(
-            ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1,
-            rng=jax.random.PRNGKey(0),
-        )
-
-    def fetch(res):
-        # device→host fetch: the only reliable sync point on tunneled
-        # backends where block_until_ready can return early.
-        return np.asarray(res.tokens)
-
-    def timed_runs(max_new, reps):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fetch(run(max_new))
-            ts.append(time.perf_counter() - t0)
-        return float(np.percentile(ts, 50))
-
-    # Warmup / compile all program shapes.
-    fetch(run(1))
-    fetch(run(SHORT_NEW))
-    fetch(run(MAX_NEW))
-
-    # TTFT: preprocess + prefill + first token (max_new=1 program).
-    ttft_p50 = timed_runs(1, 5)
-
-    # Decode rate from the difference of two full generates (same program
-    # family, prefill cost cancels) — subtracting the separate TTFT program
-    # is less robust to tunnel timing noise (one outlier sample once produced
-    # an impossible 3.6x-roofline reading).
-    t_short = timed_runs(SHORT_NEW, 5)
-    t_long = timed_runs(MAX_NEW, 5)
-    decode_tps = (MAX_NEW - SHORT_NEW) / max(t_long - t_short, 1e-9)
-
-    batch_tps = None
-    if os.environ.get("BENCH_BATCH"):
-        batch_tps = batched_throughput(cfg, params, raw, preprocess, batch=8)
-
-    mean_ctx = s + MAX_NEW // 2
-    roofline = decode_roofline_tokens_per_sec(cfg, mean_ctx, hbm_gbps)
-    # Effective HBM rate the decode actually sustains (bytes it must stream
-    # per step × measured steps/s). For context: a pure 4.3 GB streaming
-    # reduce on this chip measures ~610 GB/s (74.5% of nominal 819 —
-    # scripts/bench_hbm_peak.py), so decode above that is at the practical
-    # bandwidth ceiling even when the nominal-roofline fraction reads <90%.
-    step_bytes = hbm_gbps * 1e9 / roofline
-    effective_gbps = step_bytes * decode_tps / 1e9
-
-    # --- full int8 serving mode: int8 weights + int8 KV cache (secondary
-    # metric; before commit 8af26fd the int8_* fields measured weights-only
-    # with a bf16 cache — B=1 differs by only ~1%) ---
-    from llama32mm_tpu.ops.quant import quantize_llama_params
-
-    # Free the bf16 serving state as the int8 copy is built: the bf16 engine
-    # (and its cached executables) first, then each donated decoder weight —
-    # both full weight sets never coexist in HBM (16 GB v5e).
-    del engine
-    qparams = quantize_llama_params(params, free_originals=True)
-    params = None
-    # Full int8 serving mode: int8 weights + int8 KV cache (kv matters little
-    # at B=1 but +42% at batch 8 — see README serving table).
-    qengine = InferenceEngine(qparams, cfg, max_cache_length=CACHE_LEN, kv_dtype="int8")
-
-    def qrun(max_new):
-        px = preprocess(raw)
-        return qengine.generate(
-            ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1,
-            rng=jax.random.PRNGKey(0),
-        )
-
-    def q_timed(max_new, reps):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(qrun(max_new).tokens)
-            ts.append(time.perf_counter() - t0)
-        return float(np.percentile(ts, 50))
-
-    np.asarray(qrun(SHORT_NEW).tokens)
-    np.asarray(qrun(MAX_NEW).tokens)
-    q_short = q_timed(SHORT_NEW, 5)
-    q_long = q_timed(MAX_NEW, 5)
-    q_decode_tps = (MAX_NEW - SHORT_NEW) / max(q_long - q_short, 1e-9)
-
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tokens_per_sec_per_chip",
-                "value": round(decode_tps, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(decode_tps / roofline, 4),
-                "roofline_tokens_per_sec": round(roofline, 2),
-                "effective_hbm_gbps": round(effective_gbps, 1),
-                # one-off streaming-reduce measurement of THIS dev chip
-                # (scripts/bench_hbm_peak.py) — only meaningful on v5e
-                **({"measured_stream_peak_gbps": 609.8} if "v5" in kind else {}),
-                "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
-                "int8_decode_tokens_per_sec": round(q_decode_tps, 2),
-                "int8_vs_bf16_roofline": round(q_decode_tps / roofline, 4),
-                **({"batch8_decode_tokens_per_sec": round(batch_tps, 1)} if batch_tps else {}),
-                "config": "llama3.2-3B-text+ViT-H/14@560, bf16, 1 chip",
-                "backend": backend,
-                "device_kind": kind,
-                "prompt_len": s,
-                "max_new_tokens": MAX_NEW,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

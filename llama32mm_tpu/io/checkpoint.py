@@ -200,12 +200,14 @@ def _streaming_loader_fns(dt):
     ``alloc`` materializes a zero target directly on device (optionally in its
     GSPMD sharding — never on host); ``write_row`` donates the buffer and
     overwrites one leading-axis slice, so device memory holds exactly one copy
-    of each parameter while layers stream in.
-    """
+    of each parameter while layers stream in. ``write_qrow`` additionally
+    quantizes the incoming row to int8 + per-channel scale ON DEVICE before
+    the donated write — the float stack never exists (how an 11B checkpoint
+    loads onto a 16 GB chip)."""
 
-    def alloc(shape, sharding):
+    def alloc(shape, sharding, dtype=dt):
         fn = jax.jit(
-            lambda: jnp.zeros(shape, dt),
+            lambda: jnp.zeros(shape, dtype),
             out_shardings=None if sharding is None else sharding,
         )
         return fn()
@@ -214,7 +216,32 @@ def _streaming_loader_fns(dt):
     def write_row(buf, row, idx):
         return jax.lax.dynamic_update_index_in_dim(buf, row.astype(buf.dtype), idx, 0)
 
-    return alloc, write_row
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def write_qrow(qbuf, sbuf, row, idx):
+        from llama32mm_tpu.ops.quant import quantize_weight
+
+        qs = quantize_weight(row)
+        qbuf = jax.lax.dynamic_update_index_in_dim(qbuf, qs["q"], idx, 0)
+        sbuf = jax.lax.dynamic_update_index_in_dim(sbuf, qs["scale"], idx, 0)
+        return qbuf, sbuf
+
+    return alloc, write_row, write_qrow
+
+
+# Decoder-linear target paths that streaming int8 quantization applies to
+# (mirrors ops/quant._QUANT_TARGET_PATHS plus the untied lm_head).
+_QUANT_STREAM_PATHS = frozenset(
+    ("language_model", "model", "blocks") + p
+    for p in (
+        ("att", "W_query", "weight"),
+        ("att", "W_key", "weight"),
+        ("att", "W_value", "weight"),
+        ("att", "out_proj", "weight"),
+        ("ff", "swiglu", "w_gate"),
+        ("ff", "swiglu", "w_up"),
+        ("ff", "w_down", "weight"),
+    )
+) | {("language_model", "lm_head", "weight")}
 
 
 def load_checkpoint_params(
@@ -223,6 +250,7 @@ def load_checkpoint_params(
     shardings=None,
     verbose: bool = True,
     streaming: bool = False,
+    quantize_int8: bool = False,
 ) -> dict:
     """Load all ``*.safetensors`` under ``model_path`` into this framework's
     param pytree. Returns params with stacked per-layer arrays, cast to the
@@ -239,8 +267,18 @@ def load_checkpoint_params(
     layer row is written with a donated ``dynamic_update_index_in_dim``, so
     host RAM holds one parameter at a time and HBM exactly one copy of each
     target. Requires ``shardings`` to be a dict tree (e.g. from
-    ``parallel.sharding.param_shardings``) or None."""
+    ``parallel.sharding.param_shardings``) or None.
+
+    ``quantize_int8=True`` (requires streaming) quantizes each decoder linear
+    (and the untied lm_head) to int8 + fp32 per-channel scales ON DEVICE as
+    its rows arrive — the bf16 stack never materializes, so 11B-class
+    checkpoints load straight into serving form on a 16 GB chip. Embeddings,
+    norms, and the vision tower stay in the float dtype (matching
+    ``ops.quant.quantize_llama_params``)."""
     from llama32mm_tpu.io.native_st import iter_tensors
+
+    if quantize_int8 and not streaming:
+        raise ValueError("quantize_int8=True requires streaming=True")
 
     files = sorted(
         os.path.join(model_path, fn)
@@ -284,7 +322,7 @@ def load_checkpoint_params(
             "streaming=True requires a dict sharding tree (param_shardings) or None"
         )
     if streaming:
-        alloc, write_row = _streaming_loader_fns(dt)
+        alloc, write_row, write_qrow = _streaming_loader_fns(dt)
 
     def shard_leaf(path):
         if not isinstance(shardings, dict):
@@ -319,7 +357,17 @@ def load_checkpoint_params(
                 if tuple(tensor.shape) != expected:
                     skipped.append(f"{key} (shape mismatch)")
                     continue
-                if streaming:
+                if streaming and quantize_int8 and path in _QUANT_STREAM_PATHS:
+                    buf = _tree_get(host, list(path))
+                    if buf is None:
+                        buf = {
+                            "q": alloc(tshape, None, jnp.int8),
+                            "scale": alloc(tshape[:1] + tshape[-1:], None, jnp.float32),
+                        }
+                    row = jnp.asarray(np.asarray(tensor.astype(stage_dtype)))
+                    qb, sb = write_qrow(buf["q"], buf["scale"], row, layer_idx)
+                    _tree_set(host, list(path), {"q": qb, "scale": sb})
+                elif streaming:
                     buf = _tree_get(host, list(path))
                     if buf is None:
                         buf = alloc(tshape, shard_leaf(path))
@@ -336,7 +384,12 @@ def load_checkpoint_params(
                 if tuple(tensor.shape) != tshape:
                     skipped.append(f"{key} (shape mismatch)")
                     continue
-                if streaming:
+                if streaming and quantize_int8 and path in _QUANT_STREAM_PATHS:
+                    from llama32mm_tpu.ops.quant import quantize_weight
+
+                    arr = jnp.asarray(np.asarray(tensor.astype(stage_dtype)))
+                    _tree_set(host, list(path), jax.jit(quantize_weight)(arr))
+                elif streaming:
                     sh = shard_leaf(path)
                     arr = np.asarray(tensor.astype(stage_dtype))
                     val = (
@@ -375,6 +428,8 @@ def load_checkpoint_params(
                     arr = init_node[name].astype(dt)
                     if sub_shard is not None and not isinstance(sub_shard, dict):
                         arr = jax.device_put(arr, sub_shard)
+                elif isinstance(val, dict) and "q" in val:
+                    arr = val  # streaming-quantized leaf: int8 + scale on device
                 elif isinstance(val, jax.Array):
                     arr = val  # streaming path: already on device, already placed
                 else:
@@ -558,9 +613,15 @@ def load_hf_model(
     max_cache_length: int = 2048,
     shardings=None,
     streaming: bool = False,
+    quantize_int8: bool = False,
 ):
     """Parity: reference ``load_hf_model(model_path, device)`` (utils.py:149-166)
-    → ``(MllamaForConditionalGeneration, tokenizer)``, weights tied."""
+    → ``(MllamaForConditionalGeneration, tokenizer)``, weights tied.
+
+    ``quantize_int8=True`` (with ``streaming=True``) loads the decoder
+    directly into int8 serving form — no bf16 stack ever exists on device.
+    The head stays as loaded (int8 if the checkpoint has an untied lm_head);
+    tying is skipped in that case since the embedding stays float."""
     from transformers import AutoTokenizer
 
     from llama32mm_tpu.models.wrapper import MllamaForConditionalGeneration
@@ -572,8 +633,11 @@ def load_hf_model(
         cfg_dict, tokenizer.pad_token_id, dtype=dtype, max_cache_length=max_cache_length
     )
     params = load_checkpoint_params(
-        model_path, config, shardings=shardings, streaming=streaming
+        model_path, config, shardings=shardings, streaming=streaming,
+        quantize_int8=quantize_int8,
     )
     model = MllamaForConditionalGeneration(config, params=params)
-    model.tie_weights()
+    head = params["language_model"]["lm_head"]["weight"]
+    if not (isinstance(head, dict) and "q" in head):
+        model.tie_weights()
     return model, tokenizer

@@ -68,6 +68,50 @@ def main():
         print(f"flash-vs-dense last-hidden max rel diff: {rel:.2e}", flush=True)
         assert rel < 5e-2, rel  # bf16 reduction-order noise grows with ctx
 
+    # Decode at this context: cache filled to S, n single-token steps inside
+    # one jitted scan (per-call dispatch latency would swamp the measurement
+    # through the tunnel). Rate from the difference of two step counts so the
+    # in-program prefill cancels.
+    from llama32mm_tpu.inference.engine import structured_decode_mask
+
+    def make_decode(n):
+        @jax.jit
+        def run(lm, embeds):
+            cache = init_kv_cache(tc, 1, max_length=S + 64, dtype=tc.jnp_dtype)
+            pm = jnp.ones((1, S), jnp.int32)
+            pre = llama_forward(
+                lm, tc, input_embeds=embeds,
+                attention_mask=structured_prefill_mask(pm, S + 64), kv_cache=cache,
+            )
+
+            def step(carry, i):
+                cache, h = carry
+                m = structured_decode_mask(pm, S + i, S + 64)
+                out = llama_forward(
+                    lm, tc, input_embeds=h, attention_mask=m,
+                    position_ids=jnp.full((1, 1), S + i - 1, jnp.int32), kv_cache=cache,
+                )
+                return (out.kv_cache, out.hidden_states[:, -1:]), out.hidden_states[0, -1, 0]
+
+            (_, _), ys = jax.lax.scan(step, (pre.kv_cache, pre.hidden_states[:, -1:]),
+                                      jnp.arange(1, n + 1))
+            return ys
+
+        return run
+
+    def med(f, reps=3):
+        np.asarray(f(lm, embeds))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(lm, embeds))
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(ts, 50))
+
+    t8, t40 = med(make_decode(8)), med(make_decode(40))
+    tps = 32 / max(t40 - t8, 1e-9)
+    print(f"decode@ctx={S}: {tps:.1f} tok/s ({(t40 - t8) / 32 * 1e3:.1f} ms/step)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -320,3 +320,65 @@ def test_sharded_save_writes_index_and_roundtrips(tmp_path):
                 )
 
     check(params, loaded)
+
+
+def test_streaming_quantized_load_matches_post_quantize(tmp_path):
+    """streaming + quantize_int8 loads decoder linears directly as int8+scale
+    identical to loading float then quantize_llama_params (the 11B-on-16GB
+    serving path — no bf16 stack ever exists on device)."""
+    import jax
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+    from llama32mm_tpu.ops.quant import is_quantized, quantize_llama_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(3), cfg, tie_weights=False)
+    save_checkpoint_params(str(tmp_path), params, cfg)
+
+    want = quantize_llama_params(
+        load_checkpoint_params(str(tmp_path), cfg, verbose=False)
+    )
+    got = load_checkpoint_params(
+        str(tmp_path), cfg, verbose=False, streaming=True, quantize_int8=True
+    )
+
+    blocks_w = want["language_model"]["model"]["blocks"]
+    blocks_g = got["language_model"]["model"]["blocks"]
+    for path in (
+        ("att", "W_query", "weight"), ("att", "out_proj", "weight"),
+        ("ff", "swiglu", "w_gate"), ("ff", "w_down", "weight"),
+    ):
+        w, g = blocks_w, blocks_g
+        for k in path:
+            w, g = w[k], g[k]
+        assert is_quantized(g), path
+        np.testing.assert_array_equal(np.asarray(w["q"]), np.asarray(g["q"]))
+        np.testing.assert_allclose(np.asarray(w["scale"]), np.asarray(g["scale"]),
+                                   rtol=1e-6)
+    head = got["language_model"]["lm_head"]["weight"]
+    assert is_quantized(head)
+    # embeddings / vision / norms stay float
+    assert not is_quantized(got["language_model"]["model"]["tok_emb"]["weight"])
+    assert not is_quantized(blocks_g["norm1"]["weight"])
+
+    # and the quantized tree actually serves
+    from llama32mm_tpu.inference.engine import InferenceEngine
+
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, 10), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :4].set(cfg.image_token_index)
+    px = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 28, 28))
+    res_w = InferenceEngine(want, cfg, max_cache_length=32, kv_dtype="int8").generate(
+        ids, px, max_new_tokens=4, eos_token_id=-1)
+    res_g = InferenceEngine(got, cfg, max_cache_length=32, kv_dtype="int8").generate(
+        ids, px, max_new_tokens=4, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(res_w.tokens), np.asarray(res_g.tokens))
+
+
+def test_quantize_int8_requires_streaming(tmp_path):
+    import pytest as _pytest
+
+    from llama32mm_tpu import tiny_mllama_config
+
+    with _pytest.raises(ValueError, match="streaming"):
+        load_checkpoint_params(str(tmp_path), tiny_mllama_config(), quantize_int8=True)
