@@ -302,9 +302,21 @@ def main() -> None:
                 "decode_tps_spread": round(decode_spread, 2),
                 "reps": REPS,
                 "effective_hbm_gbps": round(effective_gbps, 1),
-                # one-off streaming-reduce measurement of THIS dev chip
-                # (scripts/bench_hbm_peak.py) — only meaningful on v5e
-                **({"measured_stream_peak_gbps": 609.8} if "v5" in kind else {}),
+                # one-off ceilings measured on THIS dev chip (v5e only):
+                # stream peak = 4.3 GB single-stream reduce (bench_hbm_peak.py);
+                # decode SoL = the exact decode gemv+KV access pattern stripped
+                # of all model overhead (bench_decode_sol.py) — the engine
+                # matching/EXCEEDING it means the remaining gap to the nominal
+                # 819 GB/s roofline is hardware stream efficiency, not software.
+                **(
+                    {
+                        "measured_stream_peak_gbps": 609.8,
+                        "decode_sol_tokens_per_sec": 106.2,
+                        "vs_decode_sol": round(decode_tps / 106.2, 4),
+                    }
+                    if "v5" in kind
+                    else {}
+                ),
                 "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
                 "int8_decode_tokens_per_sec": round(q_decode_tps, 2),
                 "int8_vs_bf16_roofline": round(q_decode_tps / roofline, 4),
