@@ -32,6 +32,7 @@ _LAZY_EXPORTS = {
     "MllamaImageProcessor": "llama32mm_tpu.preprocess.processor",
     "Linear_LORA": "llama32mm_tpu.train.lora",
     "InferenceEngine": "llama32mm_tpu.inference.engine",
+    "ContinuousBatchingServer": "llama32mm_tpu.inference.server",
 }
 
 

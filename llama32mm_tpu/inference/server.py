@@ -1,0 +1,357 @@
+"""Continuous-batching serving loop over a fixed pool of KV-cache slots.
+
+The reference serves one request per process (``Inference/Inference.py:109-177``
+— load, preprocess, one prefill, one python decode loop). Production serving
+needs the next request to start without waiting for the previous one to
+finish. This module adds that as a TPU-native scheduler:
+
+- a **fixed pool of B cache slots** (static shapes — no recompilation as
+  requests come and go);
+- **admission = prefill-into-slot**: one compiled program per prompt bucket
+  encodes the image, prefills the prompt into a slot-sized cache, and splices
+  it into the batch cache at the assigned slot (a contiguous
+  ``dynamic_update_slice`` on the slot axis);
+- **decode = one batched program** advancing every slot one token per step,
+  ``steps_per_sync`` steps per dispatch (``lax.scan``), with **per-slot**
+  write offsets, RoPE positions, and validity bitmaps — each slot sits at its
+  own fill level, so a freshly admitted prompt decodes next to a request that
+  is 500 tokens in (the per-row cache write is one XLA scatter per layer,
+  ``utils/kvcache.py::update_stacked``);
+- host-side bookkeeping only between dispatches: queueing, slot assignment,
+  EOS / max-new-token completion, per-request token collection.
+
+Weights stream from HBM once per decode step regardless of how many slots are
+live, so aggregate tokens/s scales with occupancy (the batch-8 bench point:
+~4.7× single-stream at bf16, ~6.4× at int8+int8KV — docs/serving.md). Works
+with the int8 weight and int8-KV serving modes unchanged.
+
+Semantics match ``InferenceEngine.generate`` exactly for greedy decoding: a
+request admitted into a busy batch produces the same tokens as a solo
+``generate`` call (pinned by ``tests/test_server.py``).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama32mm_tpu.configs import MLLAMAConfig
+from llama32mm_tpu.inference.engine import structured_prefill_mask
+from llama32mm_tpu.models.vlm import vlm_forward
+from llama32mm_tpu.utils.kvcache import KVCache, init_kv_cache
+from llama32mm_tpu.utils.sampling import select_next_token
+
+
+class BatchState(NamedTuple):
+    """Device-side state of the slot pool (one pytree, donated every step)."""
+
+    cache: KVCache  # pos: [B] per-slot write offset (cache coords)
+    kv_valid: jax.Array  # [B, S] int32: attendable cache positions per slot
+    rope_pos: jax.Array  # [B] int32: next RoPE position (true tokens so far)
+    last_token: jax.Array  # [B] int32: last sampled token (fed next step)
+
+
+class _Request:
+    __slots__ = (
+        "rid", "input_ids", "pixel_values", "max_new_tokens", "tokens",
+        "slot", "finished", "prompt_len",
+    )
+
+    def __init__(self, rid, input_ids, pixel_values, max_new_tokens):
+        self.rid = rid
+        self.input_ids = input_ids  # np [s]
+        self.pixel_values = pixel_values  # np [3, H, W] or None
+        self.max_new_tokens = max_new_tokens
+        self.tokens: list[int] = []
+        self.slot: Optional[int] = None
+        self.finished = False
+        self.prompt_len = int(input_ids.shape[-1])
+
+
+class ContinuousBatchingServer:
+    """Slot-pool scheduler: submit requests any time, step the batch, collect
+    finished generations.
+
+    Sampler settings are server-level (they key the compiled programs);
+    ``max_new_tokens`` is per request. ``prompt_buckets`` as in
+    ``InferenceEngine``: ``"auto"`` pads prompts to 128-lane multiples so one
+    prefill executable serves a band of lengths.
+    """
+
+    def __init__(
+        self,
+        params,
+        config: MLLAMAConfig,
+        slots: int = 4,
+        max_cache_length: Optional[int] = None,
+        kv_dtype: Optional[str] = None,
+        prompt_buckets="auto",
+        impl: str = "auto",
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        top_k: int = 50,
+        eos_token_id: int = -1,
+        steps_per_sync: int = 8,
+        rng: Optional[jax.Array] = None,
+    ):
+        if kv_dtype not in (None, "int8"):
+            raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
+        if prompt_buckets is not None and prompt_buckets != "auto":
+            prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
+        self.params = params
+        self.config = config
+        self.slots = slots
+        self.max_cache_length = max_cache_length or config.text_config.max_cache_length
+        self.kv_dtype = kv_dtype
+        self.prompt_buckets = prompt_buckets
+        self.impl = impl
+        self.sampler = (temperature, top_p, top_k)
+        self.eos_token_id = eos_token_id
+        self.steps_per_sync = steps_per_sync
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._donate = jax.default_backend() == "tpu"
+
+        tc = config.text_config
+        adtype = jnp.int8 if kv_dtype == "int8" else tc.jnp_dtype
+        self.state = BatchState(
+            cache=init_kv_cache(
+                tc, slots, max_length=self.max_cache_length, dtype=adtype
+            )._replace(pos=jnp.zeros((slots,), jnp.int32)),
+            kv_valid=jnp.zeros((slots, self.max_cache_length), jnp.int32),
+            rope_pos=jnp.zeros((slots,), jnp.int32),
+            last_token=jnp.zeros((slots,), jnp.int32),
+        )
+
+        self._queue: deque[_Request] = deque()
+        self._by_slot: list[Optional[_Request]] = [None] * slots
+        self._results: dict[int, _Request] = {}
+        self._next_id = 0
+        self._prefill_jit = {}
+        self._decode_jit = {}
+
+    # -- compiled programs --------------------------------------------------
+
+    def _next_rng(self):
+        self._rng, r = jax.random.split(self._rng)
+        return r
+
+    def _make_prefill(self, bucket: int, use_image: bool):
+        cfg = self.config
+        tc = cfg.text_config
+        impl = self.impl
+        temperature, top_p, top_k = self.sampler
+        adtype = jnp.int8 if self.kv_dtype == "int8" else tc.jnp_dtype
+
+        def prefill_fn(params, state: BatchState, ids, px, pad_mask, slot, rng):
+            cache1 = init_kv_cache(tc, 1, max_length=bucket, dtype=adtype)
+            true_len = jnp.sum(pad_mask, axis=1).astype(jnp.int32)  # [1]
+            out = vlm_forward(
+                params,
+                cfg,
+                input_ids=ids,
+                pixel_values=px if use_image else None,
+                attention_mask=structured_prefill_mask(pad_mask, bucket),
+                kv_cache=cache1,
+                impl=impl,
+                logits_positions=(true_len - 1)[:, None],
+            )
+            first = select_next_token(out.logits[:, 0], rng, temperature, top_p, top_k)
+            first = first[0].astype(jnp.int32)
+
+            c = state.cache
+            pc = out.kv_cache
+            k = jax.lax.dynamic_update_slice(c.k, pc.k, (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(c.v, pc.v, (0, slot, 0, 0, 0))
+            ks = vs = None
+            if c.k_scale is not None:
+                ks = jax.lax.dynamic_update_slice(c.k_scale, pc.k_scale, (0, slot, 0, 0))
+                vs = jax.lax.dynamic_update_slice(c.v_scale, pc.v_scale, (0, slot, 0, 0))
+            row_valid = jnp.pad(
+                pad_mask.astype(jnp.int32),
+                ((0, 0), (0, self.max_cache_length - bucket)),
+            )
+            return BatchState(
+                cache=KVCache(
+                    k=k, v=v, pos=c.pos.at[slot].set(bucket), k_scale=ks, v_scale=vs
+                ),
+                kv_valid=jax.lax.dynamic_update_slice(state.kv_valid, row_valid, (slot, 0)),
+                rope_pos=state.rope_pos.at[slot].set(true_len[0]),
+                last_token=state.last_token.at[slot].set(first),
+            )
+
+        return jax.jit(prefill_fn, donate_argnums=(1,) if self._donate else ())
+
+    def _make_decode(self, n_steps: int):
+        cfg = self.config
+        tc = cfg.text_config
+        impl = self.impl
+        temperature, top_p, top_k = self.sampler
+        S = self.max_cache_length
+        dt = tc.jnp_dtype
+
+        def decode_fn(params, state: BatchState, active, rng):
+            karange = jnp.arange(S)[None, :]
+
+            def one(st: BatchState, step_rng):
+                # Write offset per slot; the fed token's key lands there and
+                # must be attendable this step (like the engine's
+                # structured_decode_mask with cur_len = wp + 1).
+                wp = jnp.clip(st.cache.pos, 0, S - 1)  # [B]
+                new_bit = (karange == wp[:, None]).astype(jnp.int32)
+                attend = (st.kv_valid != 0) | (new_bit != 0)
+                mask4 = jnp.where(
+                    attend[:, None, None, :], jnp.asarray(0.0, dt), jnp.finfo(dt).min
+                )
+                out = vlm_forward(
+                    params,
+                    cfg,
+                    input_ids=st.last_token[:, None],
+                    attention_mask=mask4,
+                    position_ids=st.rope_pos[:, None],
+                    kv_cache=st.cache._replace(pos=wp),
+                    impl=impl,
+                )
+                nxt = select_next_token(
+                    out.logits[:, -1], step_rng, temperature, top_p, top_k
+                ).astype(jnp.int32)
+                # Only active slots advance; idle slots keep rewriting the
+                # same (masked) scratch position and their state is fully
+                # reset on the next admission.
+                return (
+                    BatchState(
+                        cache=out.kv_cache._replace(
+                            pos=jnp.where(active, wp + 1, st.cache.pos)
+                        ),
+                        kv_valid=jnp.where(
+                            active[:, None], st.kv_valid | new_bit, st.kv_valid
+                        ),
+                        rope_pos=jnp.where(active, st.rope_pos + 1, st.rope_pos),
+                        last_token=jnp.where(active, nxt, st.last_token),
+                    ),
+                    nxt,
+                )
+
+            st, toks = jax.lax.scan(one, state, jax.random.split(rng, n_steps))
+            return st, toks.T  # [B, n_steps]
+
+        return jax.jit(decode_fn, donate_argnums=(1,) if self._donate else ())
+
+    # -- host-side scheduling -----------------------------------------------
+
+    def _bucketed_len(self, s: int, max_new: int) -> int:
+        room = self.max_cache_length - max_new
+        if s > room:
+            raise ValueError(
+                f"prompt ({s}) + max_new_tokens ({max_new}) exceeds cache "
+                f"capacity {self.max_cache_length}"
+            )
+        if self.prompt_buckets is None:
+            return s
+        if self.prompt_buckets == "auto":
+            cand = min(-(-s // 128) * 128, room)
+            return cand if cand >= s else s
+        for b in self.prompt_buckets:
+            if b >= s and b <= room:
+                return b
+        return s
+
+    def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 256) -> int:
+        """Queue a request; returns its id. ``input_ids``: [s] or [1, s]."""
+        ids = np.asarray(input_ids).reshape(-1)
+        px = None if pixel_values is None else np.asarray(pixel_values)
+        if px is not None and px.ndim == 4:
+            px = px[0]
+        rid = self._next_id
+        self._next_id += 1
+        req = _Request(rid, ids, px, max_new_tokens)
+        self._queue.append(req)
+        self._results[rid] = req
+        return rid
+
+    def _admit(self, req: _Request, slot: int) -> None:
+        s = req.prompt_len
+        bucket = self._bucketed_len(s, req.max_new_tokens)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :s] = req.input_ids
+        pad = np.zeros((1, bucket), np.int32)
+        pad[0, :s] = 1
+        use_image = req.pixel_values is not None
+        key = (bucket, use_image)
+        if key not in self._prefill_jit:
+            self._prefill_jit[key] = self._make_prefill(bucket, use_image)
+        if use_image:
+            px = jnp.asarray(req.pixel_values, self.config.text_config.jnp_dtype)[None]
+        else:
+            px = jnp.zeros((1, 3, 1, 1), self.config.text_config.jnp_dtype)
+        self.state = self._prefill_jit[key](
+            self.params,
+            self.state,
+            jnp.asarray(ids),
+            px,
+            jnp.asarray(pad),
+            jnp.asarray(slot, jnp.int32),
+            self._next_rng(),
+        )
+        req.slot = slot
+        self._by_slot[slot] = req
+        # The prefill's sampled token is the request's first generated token.
+        first = int(np.asarray(self.state.last_token[slot]))
+        self._emit(req, [first])
+
+    def _emit(self, req: _Request, toks: list[int]) -> None:
+        for t in toks:
+            if req.finished:
+                break
+            req.tokens.append(t)
+            if t == self.eos_token_id or len(req.tokens) >= req.max_new_tokens:
+                req.finished = True
+        if req.finished and req.slot is not None:
+            self._by_slot[req.slot] = None
+            req.slot = None
+
+    def step(self) -> list[int]:
+        """Admit pending requests into free slots, then run one decode chunk.
+        Returns ids of requests that finished during this call."""
+        before = {r.rid for r in self._results.values() if r.finished}
+
+        for slot in range(self.slots):
+            if self._by_slot[slot] is None and self._queue:
+                self._admit(self._queue.popleft(), slot)
+
+        active_rows = [r is not None for r in self._by_slot]
+        if any(active_rows):
+            # Bound the chunk so the tightest request doesn't overshoot by
+            # more than it must (tokens past max_new/EOS are discarded).
+            remaining = min(
+                r.max_new_tokens - len(r.tokens) for r in self._by_slot if r is not None
+            )
+            n = max(1, min(self.steps_per_sync, remaining))
+            if n not in self._decode_jit:
+                self._decode_jit[n] = self._make_decode(n)
+            self.state, toks = self._decode_jit[n](
+                self.params, self.state, jnp.asarray(active_rows), self._next_rng()
+            )
+            toks = np.asarray(toks)
+            for slot, req in enumerate(self._by_slot):
+                if req is not None:
+                    self._emit(req, [int(t) for t in toks[slot]])
+
+        after = {r.rid for r in self._results.values() if r.finished}
+        return sorted(after - before)
+
+    def run(self) -> dict[int, np.ndarray]:
+        """Drive until every submitted request finishes; returns
+        ``{request_id: generated token ids}``."""
+        while self._queue or any(r is not None for r in self._by_slot):
+            self.step()
+        return {rid: np.asarray(r.tokens) for rid, r in self._results.items()}
+
+    def tokens_so_far(self, rid: int) -> np.ndarray:
+        return np.asarray(self._results[rid].tokens)
+
+    def is_finished(self, rid: int) -> bool:
+        return self._results[rid].finished

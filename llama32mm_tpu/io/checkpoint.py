@@ -483,15 +483,23 @@ def save_checkpoint_params(
     for hf_key, (path, kind) in _GLOBAL_LEAVES.items():
         inv_global.setdefault(path, (hf_key, kind))  # first alias wins
 
+    def tcopy(arr: np.ndarray) -> np.ndarray:
+        """Contiguous transpose; custom dtypes (ml_dtypes bf16) go through a
+        same-width integer view — numpy's generic dtype-transfer loop for
+        user-defined types measures ~2× slower on the strided copy, which
+        dominates an 11B save."""
+        if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+            iview = np.dtype(f"u{arr.dtype.itemsize}")
+            return np.ascontiguousarray(arr.view(iview).T).view(arr.dtype)
+        return np.ascontiguousarray(arr.T)
+
     def untransform(arr: np.ndarray, kind: str, conv_shape=None) -> np.ndarray:
         if kind == "t":
-            return np.ascontiguousarray(arr.T)
+            return tcopy(arr)
         if kind == "conv":
             cpp, d = arr.shape
             vc = config.vision_config
-            return np.ascontiguousarray(
-                arr.T.reshape(d, vc.num_channels, vc.patch_size, vc.patch_size)
-            )
+            return tcopy(arr).reshape(d, vc.num_channels, vc.patch_size, vc.patch_size)
         return arr
 
     tensors: Dict[str, np.ndarray] = {}

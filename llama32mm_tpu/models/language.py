@@ -35,7 +35,7 @@ from llama32mm_tpu.ops.dispatch import resolve_impl
 from llama32mm_tpu.ops.rmsnorm import fused_add_rmsnorm
 from llama32mm_tpu.ops.rope import apply_rotary_pos_emb, rope_cos_sin
 from llama32mm_tpu.ops.swiglu import fused_swiglu
-from llama32mm_tpu.utils.kvcache import KVCache, update_stacked
+from llama32mm_tpu.utils.kvcache import KVCache, update_stacked, update_stacked_scales
 
 
 # ---------------------------------------------------------------------------
@@ -286,12 +286,8 @@ def _block_forward(
 
             k_w, ks_new = quantize_kv(k)
             v_w, vs_new = quantize_kv(v)
-            ks_all = jax.lax.dynamic_update_slice(
-                ks_all, ks_new[None], (layer_idx, 0, 0, cache_pos)
-            )
-            vs_all = jax.lax.dynamic_update_slice(
-                vs_all, vs_new[None], (layer_idx, 0, 0, cache_pos)
-            )
+            ks_all = update_stacked_scales(ks_all, ks_new, layer_idx, cache_pos)
+            vs_all = update_stacked_scales(vs_all, vs_new, layer_idx, cache_pos)
             k_scale = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
             v_scale = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
         else:
@@ -410,6 +406,12 @@ def llama_forward(
             # 2D mask covers the *current* tokens; cached slots are valid.
             tk = kv_cache.max_length
             pos = kv_cache.pos
+            if jnp.asarray(pos).ndim != 0:
+                raise ValueError(
+                    "per-row cache offsets (pos of shape [B]) require a "
+                    "prebuilt 4D additive mask or AttnMask — the 2D-mask "
+                    "convenience path assumes one shared fill level"
+                )
             karange = jnp.arange(tk)[None, :]
             padded_base = jax.lax.dynamic_update_slice(
                 jnp.zeros((b, tk), jnp.int32), base, (0, pos)
@@ -426,7 +428,9 @@ def llama_forward(
 
     if position_ids is None and kv_cache is not None:
         # Decode positions = cache fill level (fix to intent, SURVEY §2.9 #9).
-        position_ids = kv_cache.pos + jnp.arange(t)[None, :]
+        pos0 = jnp.asarray(kv_cache.pos)
+        pos0 = pos0[:, None] if pos0.ndim == 1 else pos0  # [B] per-row offsets
+        position_ids = pos0 + jnp.arange(t)[None, :]
         position_ids = jnp.broadcast_to(position_ids, (b, t))
     position_ids = prepare_position_ids(position_ids, b, t)
     scaling = config.rope_freq_dict if config.apply_rope_scaling else None

@@ -117,11 +117,24 @@ def update_stacked(
     k_new: jax.Array,  # [B, n_kv, T, hd]
     v_new: jax.Array,
     layer_idx: jax.Array,  # int32 scalar
-    pos: jax.Array,  # int32 scalar: write offset
+    pos: jax.Array,  # int32 scalar write offset, or [B] per-row offsets (T=1)
 ):
     """One layer's slot write into the stacked cache — the single code path
     shared by ``KVCache.update`` and the decoder's layer scan
-    (``models/language.py::_block_forward``)."""
+    (``models/language.py::_block_forward``).
+
+    ``pos`` may be a ``[B]`` vector (continuous-batching decode: every slot
+    sits at its own fill level); that path requires ``T == 1`` and lowers to
+    one XLA scatter per layer instead of a contiguous slice write.
+    """
+    pos = jnp.asarray(pos)
+    if pos.ndim == 1:
+        if k_new.shape[2] != 1:
+            raise ValueError("per-row cache offsets require single-token updates")
+        b_idx = jnp.arange(k_new.shape[0])
+        k_all = k_all.at[layer_idx, b_idx, :, pos, :].set(k_new[:, :, 0, :].astype(k_all.dtype))
+        v_all = v_all.at[layer_idx, b_idx, :, pos, :].set(v_new[:, :, 0, :].astype(v_all.dtype))
+        return k_all, v_all
     k_all = jax.lax.dynamic_update_slice(
         k_all, k_new[None].astype(k_all.dtype), (layer_idx, 0, 0, pos, 0)
     )
@@ -129,3 +142,19 @@ def update_stacked(
         v_all, v_new[None].astype(v_all.dtype), (layer_idx, 0, 0, pos, 0)
     )
     return k_all, v_all
+
+
+def update_stacked_scales(
+    s_all: jax.Array,  # [L, B, n_kv, S_max] fp32 per-position scales
+    s_new: jax.Array,  # [B, n_kv, T]
+    layer_idx: jax.Array,
+    pos: jax.Array,  # int32 scalar, or [B] per-row offsets (T=1)
+):
+    """int8-KV scale write mirroring :func:`update_stacked`."""
+    pos = jnp.asarray(pos)
+    if pos.ndim == 1:
+        if s_new.shape[2] != 1:
+            raise ValueError("per-row cache offsets require single-token updates")
+        b_idx = jnp.arange(s_new.shape[0])
+        return s_all.at[layer_idx, b_idx, :, pos].set(s_new[:, :, 0])
+    return jax.lax.dynamic_update_slice(s_all, s_new[None], (layer_idx, 0, 0, pos))

@@ -39,12 +39,19 @@ def write_checkpoint():
         lambda k: init_vlm_params(k, cfg, tie_weights=False), jax.random.PRNGKey(0)
     )
     rng = np.random.default_rng(0)
+    # Every tensor is a VIEW into one shared random block (the drill measures
+    # the save/load IO path, not the values; per-element RNG over 10.7B params
+    # and 21 GB of host copies would dominate the wall time on this host).
+    max_elems = max(
+        int(np.prod(l.shape)) for l in jax.tree.leaves(shapes) if l is not None
+    )
+    block = ((rng.random(max_elems, np.float32) * 0.02) - 0.01).astype(ml_dtypes.bfloat16)
 
     def fill(leaf):
         if leaf is None:
             return None
-        # cheap uniform noise in bf16 — the drill measures IO, not math
-        return (rng.random(leaf.shape, np.float32) * 0.02 - 0.01).astype(ml_dtypes.bfloat16)
+        n = int(np.prod(leaf.shape))
+        return block[:n].reshape(leaf.shape)
 
     t0 = time.time()
     tree = jax.tree.map(fill, shapes)

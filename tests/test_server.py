@@ -1,0 +1,128 @@
+"""Continuous-batching server: staggered requests in a shared slot pool must
+reproduce the offline engine's tokens exactly (greedy), across ragged prompt
+lengths, admissions mid-decode, slot reuse, and the int8-KV serving mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+from llama32mm_tpu.inference.engine import InferenceEngine
+from llama32mm_tpu.inference.server import ContinuousBatchingServer
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _prompt(cfg, s, key=1):
+    n_img = cfg.text_config.num_image_tokens
+    ids = jax.random.randint(jax.random.PRNGKey(key), (1, s), 0, cfg.vocab_size - 10)
+    return ids.at[:, :n_img].set(cfg.image_token_index)
+
+
+def _engine_tokens(cfg, params, ids, px, max_new, buckets, kv_dtype=None):
+    eng = InferenceEngine(
+        params, cfg, max_cache_length=64, prompt_buckets=buckets, kv_dtype=kv_dtype
+    )
+    out = eng.generate(ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1)
+    return np.asarray(out.tokens)[0, : int(out.num_generated[0])]
+
+
+@pytest.mark.parametrize("kv_dtype", [None, "int8"])
+def test_staggered_requests_match_offline_engine(tiny, kv_dtype):
+    cfg, params = tiny
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    buckets = (16, 24)
+
+    # 3 ragged requests through 2 slots: r0+r1 admitted together, r2 must
+    # wait for a slot to free (continuous batching: admitted mid-decode of
+    # the survivor), exercising slot reuse after r0/r1 finish.
+    specs = [(9, 1, 6), (12, 5, 10), (14, 7, 4)]  # (prompt_len, seed, max_new)
+    want = {
+        i: _engine_tokens(
+            cfg, params, _prompt(cfg, s, key), px, mn, buckets, kv_dtype
+        )
+        for i, (s, key, mn) in enumerate(specs)
+    }
+
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=buckets,
+        kv_dtype=kv_dtype, steps_per_sync=3, eos_token_id=-1,
+    )
+    rids = [
+        srv.submit(_prompt(cfg, s, key)[0], px[0], max_new_tokens=mn)
+        for (s, key, mn) in specs
+    ]
+    results = srv.run()
+
+    for i, rid in enumerate(rids):
+        np.testing.assert_array_equal(
+            results[rid], want[i], err_msg=f"request {i} diverged from engine"
+        )
+
+
+def test_mid_decode_admission_and_program_reuse(tiny):
+    cfg, params = tiny
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=(16,),
+        steps_per_sync=2, eos_token_id=-1,
+    )
+    r0 = srv.submit(_prompt(cfg, 9, 1)[0], px[0], max_new_tokens=9)
+    srv.step()  # admit r0, decode a chunk
+    assert not srv.is_finished(r0) and len(srv.tokens_so_far(r0)) >= 1
+
+    # second request arrives while r0 is mid-generation
+    r1 = srv.submit(_prompt(cfg, 11, 3)[0], px[0], max_new_tokens=5)
+    results = srv.run()
+
+    np.testing.assert_array_equal(
+        results[r0], _engine_tokens(cfg, params, _prompt(cfg, 9, 1), px, 9, (16,))
+    )
+    np.testing.assert_array_equal(
+        results[r1], _engine_tokens(cfg, params, _prompt(cfg, 11, 3), px, 5, (16,))
+    )
+    # one prefill program (both prompts share the 16-bucket), decode programs
+    # keyed only by chunk length — slot/arrival patterns reuse executables
+    assert set(srv._prefill_jit) == {(16, True)}
+    (pf,) = srv._prefill_jit.values()
+    assert pf._cache_size() == 1
+
+
+def test_eos_frees_slot(tiny):
+    cfg, params = tiny
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    # discover a token the greedy path actually emits, then declare it EOS
+    toks = _engine_tokens(cfg, params, _prompt(cfg, 9, 1), px, 6, (16,))
+    eos = int(toks[2])
+
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=1, max_cache_length=64, prompt_buckets=(16,),
+        steps_per_sync=4, eos_token_id=eos,
+    )
+    rid = srv.submit(_prompt(cfg, 9, 1)[0], px[0], max_new_tokens=6)
+    results = srv.run()
+    got = results[rid]
+    assert got[-1] == eos and len(got) <= 3
+    np.testing.assert_array_equal(got, toks[: len(got)])
+    assert srv._by_slot == [None]
+
+
+def test_text_only_requests(tiny):
+    cfg, params = tiny
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=(16,),
+        steps_per_sync=4, eos_token_id=-1,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 10), 0, cfg.vocab_size - 10)
+    rid = srv.submit(ids[0], None, max_new_tokens=5)
+    results = srv.run()
+
+    eng = InferenceEngine(params, cfg, max_cache_length=64, prompt_buckets=(16,))
+    want = eng.generate(ids, None, max_new_tokens=5, temperature=0.0, eos_token_id=-1)
+    np.testing.assert_array_equal(results[rid], np.asarray(want.tokens)[0, :5])

@@ -228,3 +228,33 @@ def test_sharded_int8_kv_engine_decode_matches(tiny):
         max_new_tokens=6, eos_token_id=-1,
     )
     np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_sharded_continuous_batching_server_matches(tiny):
+    """Continuous-batching slot pool over TP-sharded params: staggered
+    admissions + per-slot scatter cache writes compile and run under GSPMD,
+    token-equal to the unsharded server."""
+    from llama32mm_tpu.inference.server import ContinuousBatchingServer
+
+    cfg, params = tiny
+    px = jax.random.normal(jax.random.PRNGKey(30), (1, 3, 28, 28))
+
+    def prompt(s, key):
+        ids = jax.random.randint(jax.random.PRNGKey(key), (s,), 0, cfg.vocab_size - 10)
+        return ids.at[:4].set(cfg.image_token_index)
+
+    def run(p):
+        srv = ContinuousBatchingServer(
+            p, cfg, slots=2, max_cache_length=64, prompt_buckets=(16,),
+            steps_per_sync=3, eos_token_id=-1, impl="xla",
+        )
+        srv.submit(prompt(9, 31), px[0], max_new_tokens=6)
+        srv.submit(prompt(12, 32), px[0], max_new_tokens=8)
+        srv.submit(prompt(11, 33), px[0], max_new_tokens=4)  # waits for a slot
+        return srv.run()
+
+    want = run(params)
+    mesh = create_mesh(dp=1, tp=2)
+    got = run(shard_params(params, cfg, mesh))
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid], err_msg=f"request {rid}")
