@@ -143,10 +143,16 @@ def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
                 scale_sh = _ns(mesh, None, tp_axis, None)
             elif p["q"].ndim == 3:  # stacked [L, in, out]
                 out_axis = pspec[-1] if pspec else None
-                scale_sh = _ns(mesh, None, out_axis)
+                if p["scale"].ndim == 3:  # int4 grouped: scale [L, in/g, out]
+                    scale_sh = _ns(mesh, None, None, out_axis)
+                else:
+                    scale_sh = _ns(mesh, None, out_axis)
             else:  # [in, out]
                 out_axis = pspec[-1] if pspec else None
-                scale_sh = _ns(mesh, out_axis)
+                if p["scale"].ndim == 2:  # int4 grouped: scale [in/g, out]
+                    scale_sh = _ns(mesh, None, out_axis)
+                else:
+                    scale_sh = _ns(mesh, out_axis)
             return {
                 "q": jax.device_put(p["q"], s),
                 "scale": jax.device_put(p["scale"], scale_sh),
