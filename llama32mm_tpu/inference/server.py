@@ -355,3 +355,15 @@ class ContinuousBatchingServer:
 
     def is_finished(self, rid: int) -> bool:
         return self._results[rid].finished
+
+    def stats(self) -> dict:
+        """Scheduler observability: occupancy, queue depth, progress."""
+        live = [r for r in self._by_slot if r is not None]
+        return {
+            "slots": self.slots,
+            "slots_busy": len(live),
+            "queued": len(self._queue),
+            "submitted": self._next_id,
+            "finished": sum(r.finished for r in self._results.values()),
+            "tokens_generated": sum(len(r.tokens) for r in self._results.values()),
+        }
