@@ -51,7 +51,7 @@ def _fuse(parts, tp):
 def _fuse_maybe_quantized(parts, tp):
     if any(is_quantized(p) for p in parts):
         assert all(is_quantized(p) for p in parts), "mixed quantized/float fusion"
-        if any(p["scale"].ndim == 3 for p in parts):
+        if any("q4" in p for p in parts):
             raise ValueError(
                 "int4 group-quantized weights cannot be serving-fused — "
                 "int4 serves the unfused layout only"

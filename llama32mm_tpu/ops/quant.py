@@ -29,40 +29,71 @@ def quantize_weight(w: jax.Array) -> dict:
 
 
 def quantize_weight_int4(w: jax.Array, group_size: int = 128) -> dict:
-    """[in, out] float → {"q": int4 [in,out], "scale": fp32 [in/g, out]}.
+    """[in, out] float → {"q4": uint8 [in/2, out], "scale": fp32 [in/g, out]}.
 
-    Symmetric round-to-nearest with per-(group, output-channel) scales —
-    the standard 4-bit serving recipe (group_size=128). The int4 dtype packs
-    two weights per byte in HBM on TPU, halving weight traffic again vs int8;
-    groups run along the contraction (input) dim so each group's partial dot
-    is rescaled once (see :func:`qlinear`)."""
+    Symmetric round-to-nearest with per-(group, output-channel) scales — the
+    standard 4-bit serving recipe (group_size=128). Two weights pack into each
+    byte, halving weight HBM traffic again vs int8. The packing is
+    **split-half per group**: within group ``j`` (contraction rows
+    ``j·g .. j·g+g-1``), packed byte row ``i`` holds original row ``j·g+i`` in
+    the low nibble and row ``j·g+g/2+i`` in the high nibble (two's-complement
+    nibbles). This layout lets the consumer compute the group partial-dot as
+    two half-K matmuls against the nibble planes — no stride-2 interleave, so
+    the unpack vectorizes cleanly in VMEM (``ops/pallas/quant_matmul.py``).
+
+    Groups run along the contraction (input) dim so each group's partial dot
+    is rescaled once (see :func:`qlinear`). Deliberately NOT ``jnp.int4``:
+    the packed-uint8 format is backend-portable (S4 jit arguments crash the
+    axon TPU runtime's layout negotiation) and its memory layout is explicit.
+    """
     ci, co = w.shape[-2], w.shape[-1]
-    if ci % group_size:
-        raise ValueError(f"input dim {ci} not divisible by group_size {group_size}")
+    if ci % group_size or group_size % 2:
+        raise ValueError(
+            f"input dim {ci} must be divisible by even group_size {group_size}"
+        )
     ng = ci // group_size
+    g2 = group_size // 2
     w32 = w.astype(jnp.float32).reshape(*w.shape[:-2], ng, group_size, co)
     absmax = jnp.max(jnp.abs(w32), axis=-2)  # [.., ng, out]
     scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
-    q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -7, 7).astype(jnp.int4)
-    return {"q": q.reshape(w.shape), "scale": scale}
+    # Offset encoding: nibble u = q+8 ∈ [1, 15]. The consumer then unpacks
+    # with just AND/SHR (no sign-extension arithmetic) and removes the +8
+    # analytically: dot(x, u-8) = dot(x, u) - 8·rowsum(x).
+    u = jnp.clip(jnp.round(w32 / scale[..., None, :]), -7, 7).astype(jnp.int32) + 8
+    packed = (u[..., :g2, :] | (u[..., g2:, :] << 4)).astype(jnp.uint8)
+    return {"q4": packed.reshape(*w.shape[:-2], ci // 2, co), "scale": scale}
 
 
 def _is_int4(qw: dict) -> bool:
-    return jnp.asarray(qw["q"]).dtype == jnp.int4
+    return "q4" in qw
+
+
+def unpack_int4(q4: jax.Array, ng: int) -> jax.Array:
+    """Packed [.., in/2, out] uint8 → int32 nibble values [.., in, out],
+    undoing the split-half-per-group layout (ng groups along the packed dim)."""
+    half, co = q4.shape[-2], q4.shape[-1]
+    g2 = half // ng
+    b = q4.astype(jnp.int32).reshape(*q4.shape[:-2], ng, g2, co)
+    lo = (b & 0xF) - 8
+    hi = (b >> 4) - 8
+    vals = jnp.concatenate([lo, hi], axis=-2)  # [.., ng, g, out]
+    return vals.reshape(*q4.shape[:-2], 2 * half, co)
 
 
 def dequantize_weight(qw: dict, dtype=jnp.bfloat16) -> jax.Array:
-    q, scale = qw["q"], qw["scale"]
     if _is_int4(qw):
+        q4, scale = qw["q4"], qw["scale"]
         ng = scale.shape[-2]
-        ci, co = q.shape[-2], q.shape[-1]
-        w32 = q.astype(jnp.float32).reshape(*q.shape[:-2], ng, ci // ng, co)
-        return (w32 * scale[..., None, :]).reshape(q.shape).astype(dtype)
+        ci, co = 2 * q4.shape[-2], q4.shape[-1]
+        vals = unpack_int4(q4, ng).reshape(*q4.shape[:-2], ng, ci // ng, co)
+        w32 = vals.astype(jnp.float32) * scale[..., None, :]
+        return w32.reshape(*q4.shape[:-2], ci, co).astype(dtype)
+    q, scale = qw["q"], qw["scale"]
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
+    return isinstance(leaf, dict) and ("q" in leaf or "q4" in leaf) and "scale" in leaf
 
 
 def qlinear(x: jax.Array, qw: dict, impl: str = "auto") -> jax.Array:
@@ -74,18 +105,24 @@ def qlinear(x: jax.Array, qw: dict, impl: str = "auto") -> jax.Array:
     kernel on the full int8 decode (v5e, 3B). Explicit impl="pallas" /
     LLAMA32MM_OPS_IMPL still force the kernel.
 
-    int4 (per-group scales): blocked over the contraction dim — one batched
-    convert-into-dot per group axis, partial sums rescaled by the group
-    scale and reduced. Pure XLA; the int4 operand stays packed in HBM."""
+    int4 (packed nibbles, per-group scales): "auto" routes to the Pallas
+    kernel on TPU — it unpacks the nibble planes *inside VMEM* so only the
+    packed bytes stream from HBM (an XLA unpack would materialize the bf16
+    copy and forfeit the 2× win over int8). The XLA fallback (CPU / explicit
+    impl="xla") computes the same split-half math unfused."""
     if _is_int4(qw):
-        q, scale = qw["q"], qw["scale"]
-        ci, co = q.shape
+        q4, scale = qw["q4"], qw["scale"]
         ng = scale.shape[0]
+        if resolve_impl(impl) == "pallas":
+            from llama32mm_tpu.ops.pallas.quant_matmul import int4_matmul_pallas
+
+            return int4_matmul_pallas(x, q4, scale)
+        ci, co = 2 * q4.shape[0], q4.shape[1]
         g = ci // ng
         xg = x.reshape(*x.shape[:-1], ng, g)
-        qg = q.reshape(ng, g, co)
+        vals = unpack_int4(q4, ng).reshape(ng, g, co).astype(x.dtype)
         # [..., ng, g] @ [ng, g, co] → [..., ng, co], batched over ng
-        part = jnp.einsum("...ni,nio->...no", xg, qg.astype(x.dtype))
+        part = jnp.einsum("...ni,nio->...no", xg, vals)
         out = jnp.einsum("...no,no->...o", part.astype(jnp.float32), scale)
         return out.astype(x.dtype)
     if resolve_impl_prefer_xla(impl) == "pallas":

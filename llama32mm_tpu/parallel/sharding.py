@@ -138,23 +138,27 @@ def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
             if isinstance(s, dict) and isinstance(s.get("weight"), NamedSharding):
                 s = s["weight"]  # quantized leaf replaced the {"weight": ...} node
             pspec = tuple(s.spec) if isinstance(s, NamedSharding) else ()
-            if p["q"].ndim == 4:  # fused [L, in, tp, chunk] — scale [L, tp, chunk]
+            qkey = "q4" if "q4" in p else "q"
+            # int4 packs the contraction dim (rows halved) — sharding specs
+            # only ever split the OUTPUT axis of these leaves, so the float
+            # weight's sharding applies to the packed tensor unchanged.
+            if p[qkey].ndim == 4:  # fused [L, in, tp, chunk] — scale [L, tp, chunk]
                 tp_axis = pspec[2] if len(pspec) > 2 else None
                 scale_sh = _ns(mesh, None, tp_axis, None)
-            elif p["q"].ndim == 3:  # stacked [L, in, out]
+            elif p[qkey].ndim == 3:  # stacked [L, in(/2), out]
                 out_axis = pspec[-1] if pspec else None
                 if p["scale"].ndim == 3:  # int4 grouped: scale [L, in/g, out]
                     scale_sh = _ns(mesh, None, None, out_axis)
                 else:
                     scale_sh = _ns(mesh, None, out_axis)
-            else:  # [in, out]
+            else:  # [in(/2), out]
                 out_axis = pspec[-1] if pspec else None
                 if p["scale"].ndim == 2:  # int4 grouped: scale [in/g, out]
                     scale_sh = _ns(mesh, None, out_axis)
                 else:
                     scale_sh = _ns(mesh, out_axis)
             return {
-                "q": jax.device_put(p["q"], s),
+                qkey: jax.device_put(p[qkey], s),
                 "scale": jax.device_put(p["scale"], scale_sh),
             }
         if isinstance(p, dict):

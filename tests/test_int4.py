@@ -20,11 +20,23 @@ from llama32mm_tpu.ops.quant import (
 def test_int4_roundtrip_error_bound():
     w = jax.random.normal(jax.random.PRNGKey(0), (64, 48), jnp.float32)
     qw = quantize_weight_int4(w, group_size=16)
-    assert qw["q"].dtype == jnp.int4 and qw["scale"].shape == (4, 48)
+    assert qw["q4"].dtype == jnp.uint8 and qw["q4"].shape == (32, 48)
+    assert qw["scale"].shape == (4, 48)
     deq = np.asarray(dequantize_weight(qw, jnp.float32))
     # symmetric RTN: |err| <= scale/2 elementwise, scale = group absmax / 7
     scale = np.repeat(np.asarray(qw["scale"]), 16, axis=0)
     assert np.all(np.abs(deq - np.asarray(w)) <= scale / 2 + 1e-7)
+
+
+def test_int4_pack_layout():
+    # split-half per group: byte row i of group j = (row j*g+i, row j*g+g/2+i)
+    w = jnp.arange(-8, 8, dtype=jnp.float32).reshape(16, 1) / 2.0  # one column
+    qw = quantize_weight_int4(w, group_size=8)
+    assert qw["q4"].shape == (8, 1) and qw["scale"].shape == (2, 1)
+    deq = np.asarray(dequantize_weight(qw, jnp.float32))[:, 0]
+    want = np.asarray(w)[:, 0]
+    scale = np.repeat(np.asarray(qw["scale"])[:, 0], 8)
+    assert np.all(np.abs(deq - want) <= scale / 2 + 1e-7)  # order preserved
 
 
 def test_int4_qlinear_matches_dequant_matmul():
@@ -35,6 +47,23 @@ def test_int4_qlinear_matches_dequant_matmul():
     want = x @ dequantize_weight(qw, jnp.float32)
     got = qlinear(x, qw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_int4_pallas_kernel_parity():
+    # interpret-mode (CPU) parity of the packed-nibble VMEM-unpack kernel vs
+    # the dequantized dense matmul, spanning multiple group/out blocks and a
+    # gemv plus a matmul shape
+    from llama32mm_tpu.ops.pallas.quant_matmul import int4_matmul_pallas
+
+    k = jax.random.PRNGKey(2)
+    w = jax.random.normal(k, (256, 384), jnp.float32)
+    qw = quantize_weight_int4(w, group_size=32)
+    deq = dequantize_weight(qw, jnp.float32)
+    for rows in (1, 9, 130):
+        x = jax.random.normal(jax.random.fold_in(k, rows), (rows, 256), jnp.float32)
+        want = np.asarray(x @ deq)
+        got = np.asarray(int4_matmul_pallas(x, qw["q4"], qw["scale"]))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
 def test_int4_not_divisible_raises():
@@ -52,8 +81,9 @@ def test_quantize_llama_params_bits4_and_engine_decode():
 
     blocks = q4["language_model"]["model"]["blocks"]
     wq = blocks["att"]["W_query"]["weight"]
-    assert is_quantized(wq) and wq["q"].dtype == jnp.int4
+    assert is_quantized(wq) and wq["q4"].dtype == jnp.uint8
     L, H, O = params["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"].shape
+    assert wq["q4"].shape == (L, H // 2, O)
     assert wq["scale"].shape == (L, H // 32, O)
     # vision tower untouched
     assert not is_quantized(q4["vision_model"]["embeddings"]["patch_embedding"]["weight"])
