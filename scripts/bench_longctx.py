@@ -47,8 +47,13 @@ def main():
 
         return run
 
+    # Dense XLA is only attempted at sizes where the [T, T] fp32 score matrix
+    # is compilable: at 16k+ the remote compile helper itself dies (HTTP 500)
+    # and leaves the tunnel session poisoned — every later program in the
+    # process then fails with "TPU backend error (Internal)". Gate it.
+    impls = ("auto", "xla") if S <= 8192 else ("auto",)
     outs = {}
-    for impl in ("auto", "xla"):
+    for impl in impls:
         f = prefill(impl)
         try:
             outs[impl] = np.asarray(f(lm, embeds))
