@@ -23,6 +23,15 @@ import sys
 import time
 
 CKPT_DIR = os.environ.get("DRILL_CKPT_DIR", "/root/ckpt_11b")
+RECORD = os.path.join(os.path.dirname(__file__), "..", "docs", "DRILL_11B.jsonl")
+
+
+def record(obj):
+    """Print the phase result and append it to the committed artifact."""
+    line = json.dumps(obj)
+    print(line, flush=True)
+    with open(RECORD, "a") as f:
+        f.write(line + "\n")
 
 
 def write_checkpoint():
@@ -65,7 +74,7 @@ def write_checkpoint():
         if f.endswith(".safetensors")
     )
     files = sorted(f for f in os.listdir(CKPT_DIR) if f.endswith(".safetensors"))
-    print(json.dumps({
+    record({
         "phase": "write",
         "gen_s": round(t_gen, 1),
         "save_s": round(t_save, 1),
@@ -73,7 +82,7 @@ def write_checkpoint():
         "shards": files,
         "index": os.path.exists(os.path.join(CKPT_DIR, "model.safetensors.index.json")),
         "peak_rss_gb": round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
-    }))
+    })
     # minimal tokenizer so load_hf_model's AutoTokenizer step works offline
     _write_minimal_tokenizer(CKPT_DIR)
 
@@ -132,7 +141,7 @@ def load_and_serve():
         for f in os.listdir(CKPT_DIR)
         if f.endswith(".safetensors")
     )
-    print(json.dumps({
+    record({
         "phase": "load",
         "backend": jax.default_backend(),
         "device": getattr(dev, "device_kind", "?"),
@@ -141,7 +150,7 @@ def load_and_serve():
         "load_gbps": round(nbytes / 1e9 / t_load, 2),
         "peak_rss_gb": round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
         **_hbm_stats(dev),
-    }), flush=True)
+    })
 
     # Drop the loader's compiled programs (alloc/write_qrow executables and
     # any donated-buffer references they pin) before serving.
@@ -162,12 +171,12 @@ def load_and_serve():
     toks = np.asarray(res.tokens)
     t_gen = time.time() - t0
 
-    print(json.dumps({
+    record({
         "phase": "serve",
         "first_tokens": toks[0].tolist(),
         "serve_compile_plus_8tok_s": round(t_gen, 1),
         **_hbm_stats(dev),
-    }), flush=True)
+    })
 
 
 def plan_90b():
@@ -206,7 +215,7 @@ def plan_90b():
                     nshards *= mesh.shape[axis] if isinstance(axis, str) else 1
         per_dev += nbytes // nshards
     kv = cfg.text_config.n_layers * 2 * 8 * cfg.text_config.head_dim * 8192 * 2  # 8k ctx bf16
-    print(json.dumps({
+    record({
         "phase": "plan90b",
         "mesh": "tp=16 (v5p-16)",
         "total_param_gb": round(total / 1e9, 2),
@@ -214,7 +223,7 @@ def plan_90b():
         "kv_8k_total_gb": round(kv / 1e9, 2),
         "v5p_hbm_per_chip_gb": 95,
         "fits": per_dev / 1e9 + kv / 16 / 1e9 < 95,
-    }))
+    })
 
 
 if __name__ == "__main__":
