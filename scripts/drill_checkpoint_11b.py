@@ -22,6 +22,8 @@ import resource
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 CKPT_DIR = os.environ.get("DRILL_CKPT_DIR", "/root/ckpt_11b")
 RECORD = os.path.join(os.path.dirname(__file__), "..", "docs", "DRILL_11B.jsonl")
 
@@ -157,26 +159,58 @@ def load_and_serve():
     gc.collect()
     jax.clear_caches()
 
+    # HBM headroom probe: largest contiguous chunk still allocatable after
+    # ~300 streamed leaf writes (axon exposes no memory_stats; distinguishes
+    # fragmentation from a genuine budget miss when serving OOMs).
+    headroom = 0
+    for gb in (4.0, 3.0, 2.0, 1.5, 1.0, 0.5, 0.25):
+        try:
+            probe = jnp.zeros((int(gb * 1e9 / 4),), jnp.float32)
+            probe.block_until_ready()
+            headroom = gb
+            del probe
+            break
+        except Exception:
+            pass
+
     # prove it serves: single-image captioning-shaped generate (int8 KV)
     cfg = model.config
     tc = cfg.text_config
     n_img = tc.num_image_tokens
-    s = n_img + 32
-    ids = jax.random.randint(jax.random.PRNGKey(1), (1, s), 0, tc.vocab_size - 10)
-    ids = ids.at[:, :n_img].set(cfg.image_token_index)
-    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 560, 560), tc.jnp_dtype)
-    engine = InferenceEngine(model.params, cfg, max_cache_length=1792, kv_dtype="int8")
-    t0 = time.time()
-    res = engine.generate(ids, px, max_new_tokens=8, temperature=0.0, eos_token_id=-1)
-    toks = np.asarray(res.tokens)
-    t_gen = time.time() - t0
 
-    record({
-        "phase": "serve",
-        "first_tokens": toks[0].tolist(),
-        "serve_compile_plus_8tok_s": round(t_gen, 1),
-        **_hbm_stats(dev),
-    })
+    def attempt(text_len, cache_len):
+        s = n_img + text_len
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, s), 0, tc.vocab_size - 10)
+        ids = ids.at[:, :n_img].set(cfg.image_token_index)
+        px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 560, 560), tc.jnp_dtype)
+        engine = InferenceEngine(model.params, cfg, max_cache_length=cache_len,
+                                 kv_dtype="int8")
+        t0 = time.time()
+        res = engine.generate(ids, px, max_new_tokens=8, temperature=0.0,
+                              eos_token_id=-1)
+        toks = np.asarray(res.tokens)
+        return toks, time.time() - t0, engine
+
+    for text_len, cache_len in ((32, 1792), (8, 1664)):
+        try:
+            toks, t_gen, engine = attempt(text_len, cache_len)
+        except Exception as e:
+            record({"phase": "serve_attempt_failed", "prompt": n_img + text_len,
+                    "cache": cache_len, "headroom_probe_gb": headroom,
+                    "error": f"{type(e).__name__}: {str(e)[:120]}"})
+            gc.collect()
+            jax.clear_caches()
+            continue
+        record({
+            "phase": "serve",
+            "prompt": n_img + text_len,
+            "cache": cache_len,
+            "headroom_probe_gb": headroom,
+            "first_tokens": toks[0].tolist(),
+            "serve_compile_plus_8tok_s": round(t_gen, 1),
+            **_hbm_stats(dev),
+        })
+        break
 
 
 def plan_90b():

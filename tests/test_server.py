@@ -66,6 +66,27 @@ def test_staggered_requests_match_offline_engine(tiny, kv_dtype):
         )
 
 
+def test_int4_params_serve_through_server(tiny):
+    # capacity mode (docs/serving.md): int4-packed weights through the full
+    # continuous-batching path, token-equal to the offline int4 engine
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    cfg, params = tiny
+    q4 = quantize_llama_params(params, bits=4, group_size=32)
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    buckets = (16,)
+    ids = _prompt(cfg, 11, key=3)
+    want = _engine_tokens(cfg, q4, ids, px, 6, buckets, kv_dtype="int8")
+
+    srv = ContinuousBatchingServer(
+        q4, cfg, slots=2, max_cache_length=64, prompt_buckets=buckets,
+        kv_dtype="int8", steps_per_sync=3, eos_token_id=-1,
+    )
+    rid = srv.submit(ids[0], px[0], max_new_tokens=6)
+    results = srv.run()
+    np.testing.assert_array_equal(results[rid], want)
+
+
 def test_mid_decode_admission_and_program_reuse(tiny):
     cfg, params = tiny
     px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
