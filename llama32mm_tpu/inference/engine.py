@@ -91,6 +91,9 @@ class GenerateResult(NamedTuple):
     tokens: jax.Array  # [B, max_new_tokens] generated ids (eos-padded)
     num_generated: jax.Array  # [B] count of valid tokens (incl. eos)
     prefill_logits: jax.Array  # [B, V] last-position prefill logits
+    # speculative mode only: decode-loop iterations taken (< num_generated
+    # when drafts were accepted); None on the standard path.
+    steps: Optional[jax.Array] = None
 
 
 class InferenceEngine:
@@ -108,6 +111,7 @@ class InferenceEngine:
         impl: str = "auto",
         kv_dtype: Optional[str] = None,
         prompt_buckets=None,
+        spec_lookup: int = 0,
     ):
         """``kv_dtype="int8"`` enables the quantized KV cache serving mode
         (int8 slots + per-position scales folded into attention — halves
@@ -117,17 +121,28 @@ class InferenceEngine:
         ``prompt_buckets``: ``None`` (exact prompt shapes — one compile per
         length), ``"auto"`` (pad up to the next 128-lane multiple — one
         compile per 128-wide band, and the prefill matmul M-tiles stay
-        aligned), or an explicit ascending tuple of lengths."""
+        aligned), or an explicit ascending tuple of lengths.
+
+        ``spec_lookup=K`` (K ≥ 1) enables prompt-lookup speculative decoding
+        for greedy batch-1 generates: each loop iteration drafts K tokens by
+        matching the trailing bigram against the prompt+generated history and
+        verifies all of them in ONE forward (a decode step is weight-bound,
+        so a K+1-token step costs ~the same HBM as a 1-token step). Exactly
+        greedy-equivalent — drafts the model disagrees with are discarded.
+        Wins are text-dependent (repetitive continuations accept more)."""
         if kv_dtype not in (None, "int8"):
             raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
         if prompt_buckets is not None and prompt_buckets != "auto":
             prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
+        if spec_lookup < 0:
+            raise ValueError(f"spec_lookup must be >= 0, got {spec_lookup}")
         self.params = params
         self.config = config
         self.max_cache_length = max_cache_length or config.text_config.max_cache_length
         self.impl = impl
         self.kv_dtype = kv_dtype
         self.prompt_buckets = prompt_buckets
+        self.spec_lookup = int(spec_lookup)
         self._generate_jit = {}
 
     def _bucketed_len(self, s: int, max_new_tokens: int) -> int:
@@ -225,6 +240,123 @@ class InferenceEngine:
 
         return jax.jit(generate_fn)
 
+    def _make_generate_spec(self, max_new_tokens, eos_token_id, use_image):
+        """Prompt-lookup speculative decode (greedy, batch-1).
+
+        Each iteration drafts ``K = spec_lookup`` tokens by bigram match
+        against the true token history and verifies them in one
+        ``(K+1)``-token forward. A decode step streams the same weights/KV
+        regardless of its (tiny) query count, so accepted drafts are nearly
+        free tokens; rejected drafts cost nothing but the extra FLOPs.
+        Greedy-exact: committed tokens are always the model's own argmax.
+        Cache bookkeeping: the K+1 entries land at slots ``pos..pos+K``;
+        entries past the accepted prefix are stale but stay masked
+        (``kv_valid`` gates on committed length) until overwritten by the
+        next iteration's write at ``pos + n_commit``."""
+        cfg = self.config
+        tc = cfg.text_config
+        max_len = self.max_cache_length
+        impl = self.impl
+        kv_dtype = self.kv_dtype
+        K = self.spec_lookup
+
+        def generate_fn(params, input_ids, pixel_values, padding_mask, rng):
+            b, s = input_ids.shape  # b == 1 (enforced by generate())
+            adtype = jnp.int8 if kv_dtype == "int8" else tc.jnp_dtype
+            cache = init_kv_cache(tc, b, max_length=max_len, dtype=adtype)
+            prefill_mask = structured_prefill_mask(padding_mask, max_len)
+            true_len = jnp.sum(padding_mask, axis=1).astype(jnp.int32)
+            out = vlm_forward(
+                params, cfg,
+                input_ids=input_ids,
+                pixel_values=pixel_values if use_image else None,
+                attention_mask=prefill_mask, kv_cache=cache, impl=impl,
+                logits_positions=(true_len - 1)[:, None],
+            )
+            pre_logits = out.logits[:, 0]
+            first = jnp.argmax(pre_logits, axis=-1).astype(jnp.int32)  # [1]
+
+            tl = true_len[0]
+            L = s + max_new_tokens
+            # True-sequence buffer for the bigram lookup: prompt at [0, tl),
+            # generated appended at tl+j — no bucket-padding gap, unlike the
+            # cache slot layout.
+            idx = jnp.arange(L)
+            seq0 = jnp.where(idx < tl, jnp.pad(input_ids[0], (0, max_new_tokens)), 0)
+            seq0 = seq0.at[tl].set(first[0])
+            tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32).at[:, 0].set(first)
+            done0 = first == eos_token_id
+            count0 = jnp.ones((), jnp.int32)
+            steps0 = jnp.zeros((), jnp.int32)
+
+            pad_ok = jnp.pad(
+                padding_mask.astype(bool), ((0, 0), (0, max_len - s)),
+                constant_values=True,
+            )
+
+            def cond(st):
+                tokens, done, count, steps, cache, seq = st
+                return (count < max_new_tokens) & (~done[0])
+
+            def body(st):
+                tokens, done, count, steps, cache, seq = st
+                last_at = tl + count - 1  # seq index of the last committed token
+                last_tok = seq[last_at]
+
+                # Draft K tokens: most recent earlier occurrence of the
+                # trailing bigram; the K tokens that followed it. No match →
+                # garbage drafts → verification rejects them (no cost beyond
+                # the step we were taking anyway).
+                gram_a = seq[last_at - 1]
+                m = (seq == gram_a) & (jnp.roll(seq, -1) == last_tok)
+                m = m & ((idx + 1) < (last_at))  # strictly before the current bigram
+                best = jnp.max(jnp.where(m, idx, -1))
+                start = jnp.clip(best + 2, 0, L - K)
+                drafts = jax.lax.dynamic_slice(seq, (start,), (K,))
+
+                # One (K+1)-token verify forward at cache slots p..p+K.
+                p_slot = (s + count - 1).astype(jnp.int32)
+                feed = jnp.concatenate([last_tok[None], drafts])[None, :]
+                k_arr = jnp.arange(max_len)[None, :]
+                kv_valid = ((k_arr < (p_slot + K + 1)) & pad_ok).astype(jnp.int32)
+                mask = AttnMask(kv_valid=kv_valid, q_offset=p_slot)
+                pos = (tl + count - 1 + jnp.arange(K + 1))[None, :].astype(jnp.int32)
+                step_out = vlm_forward(
+                    params, cfg, input_ids=feed, attention_mask=mask,
+                    position_ids=pos, kv_cache=cache._replace(pos=p_slot),
+                    impl=impl,
+                )
+                nxt = jnp.argmax(step_out.logits[0], axis=-1).astype(jnp.int32)  # [K+1]
+
+                # Longest accepted draft prefix, +1 bonus token; clamp to the
+                # remaining budget and cut at the first committed eos.
+                acc = jnp.cumprod((drafts == nxt[:K]).astype(jnp.int32))
+                n_commit = jnp.minimum(jnp.sum(acc) + 1, max_new_tokens - count)
+                j = jnp.arange(K + 1)
+                eos_hit = (j < n_commit) & (nxt == eos_token_id)
+                n_commit = jnp.minimum(n_commit, jnp.min(jnp.where(eos_hit, j, K + 1)) + 1)
+
+                tidx = jnp.arange(max_new_tokens)
+                sel = (tidx >= count) & (tidx < count + n_commit)
+                src = jnp.take(nxt, jnp.clip(tidx - count, 0, K))
+                tokens = jnp.where(sel[None, :], src[None, :], tokens)
+                sel_s = (idx >= tl + count) & (idx < tl + count + n_commit)
+                src_s = jnp.take(nxt, jnp.clip(idx - (tl + count), 0, K))
+                seq = jnp.where(sel_s, src_s, seq)
+
+                done = done | jnp.any(eos_hit)[None]
+                return (tokens, done, count + n_commit, steps + 1,
+                        step_out.kv_cache, seq)
+
+            st = (tokens0, done0, count0, steps0, out.kv_cache, seq0)
+            tokens, done, count, steps, _, _ = jax.lax.while_loop(cond, body, st)
+            return GenerateResult(
+                tokens=tokens, num_generated=count[None], prefill_logits=pre_logits,
+                steps=steps,
+            )
+
+        return jax.jit(generate_fn)
+
     def generate(
         self,
         input_ids,
@@ -257,9 +389,21 @@ class InferenceEngine:
             )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         use_image = pixel_values is not None
-        key = (max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image)
-        if key not in self._generate_jit:
-            self._generate_jit[key] = self._make_generate(*key)
+        if self.spec_lookup > 0:
+            if temperature != 0.0:
+                raise ValueError(
+                    "spec_lookup decoding is greedy-only (temperature=0.0); "
+                    "sampling would need rejection resampling to stay exact"
+                )
+            if b != 1:
+                raise ValueError("spec_lookup decoding supports batch size 1")
+            key = ("spec", max_new_tokens, eos_token_id, use_image)
+            if key not in self._generate_jit:
+                self._generate_jit[key] = self._make_generate_spec(*key[1:])
+        else:
+            key = (max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image)
+            if key not in self._generate_jit:
+                self._generate_jit[key] = self._make_generate(*key)
         px = (
             jnp.asarray(pixel_values, dtype=self.config.text_config.jnp_dtype)
             if use_image

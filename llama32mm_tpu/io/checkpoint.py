@@ -404,11 +404,27 @@ def load_checkpoint_params(
                 filled.add(path)
 
     # Fill any missing targets with random init so the model is runnable
-    # (reference: load_state_dict(strict=False) leaves them at init).
-    init = init_vlm_params(jax.random.PRNGKey(0), config, tie_weights=False)
+    # (reference: load_state_dict(strict=False) leaves them at init). The
+    # init tree is built LAZILY and ON HOST, only if a key is actually
+    # missing — eagerly calling init_vlm_params here would materialize a
+    # full bf16 copy of the model on the device (≈21 GB at 11B: the exact
+    # stack the streaming-int8 path exists to avoid) and, through a
+    # tunneled backend, pay one RPC per eager random op.
     missing: List[str] = []
+    _init_tree: List[dict] = []
 
-    def finalize(ref_node, host_node, init_node, shard_node, path):
+    def get_init(p):
+        if not _init_tree:
+            with jax.default_device(jax.devices("cpu")[0]):
+                _init_tree.append(
+                    init_vlm_params(jax.random.PRNGKey(0), config, tie_weights=False)
+                )
+        node = _init_tree[0]
+        for n in p:
+            node = node[n]
+        return node
+
+    def finalize(ref_node, host_node, shard_node, path):
         out = {}
         for name, ref_leaf in ref_node.items():
             p = path + (name,)
@@ -417,7 +433,6 @@ def load_checkpoint_params(
                 out[name] = finalize(
                     ref_leaf,
                     host_node.get(name, {}) if isinstance(host_node, dict) else {},
-                    init_node[name],
                     sub_shard if isinstance(sub_shard, dict) else {},
                     p,
                 )
@@ -425,7 +440,7 @@ def load_checkpoint_params(
                 val = host_node.get(name) if isinstance(host_node, dict) else None
                 if val is None:
                     missing.append(".".join(p))
-                    arr = init_node[name].astype(dt)
+                    arr = jnp.asarray(np.asarray(get_init(p)), dtype=dt)
                     if sub_shard is not None and not isinstance(sub_shard, dict):
                         arr = jax.device_put(arr, sub_shard)
                 elif isinstance(val, dict) and "q" in val:
@@ -442,7 +457,7 @@ def load_checkpoint_params(
         return out
 
     shard_tree = shardings if isinstance(shardings, dict) else {}
-    params = finalize(ref, host, init, shard_tree, ())
+    params = finalize(ref, host, shard_tree, ())
     if shardings is not None and not isinstance(shardings, dict):
         params = jax.device_put(params, shardings)
 
