@@ -111,9 +111,17 @@ def qlinear(x: jax.Array, qw: dict, impl: str = "auto") -> jax.Array:
     copy and forfeit the 2× win over int8). The XLA fallback (CPU / explicit
     impl="xla") computes the same split-half math unfused."""
     if _is_int4(qw):
+        import math
+
         q4, scale = qw["q4"], qw["scale"]
         ng = scale.shape[0]
-        if resolve_impl(impl) == "pallas":
+        rows = math.prod(x.shape[:-1])
+        # The VMEM-unpack kernel exists for the bandwidth-bound decode gemv
+        # (few rows, weights dominate HBM). At prefill/matmul row counts the
+        # op is compute-bound, the packed-streaming win is irrelevant, and
+        # the kernel's fp32 [rows, out] result can blow the 16 MB scoped-VMEM
+        # budget when XLA places it there — route those through XLA.
+        if resolve_impl(impl) == "pallas" and rows <= 64:
             from llama32mm_tpu.ops.pallas.quant_matmul import int4_matmul_pallas
 
             return int4_matmul_pallas(x, q4, scale)
