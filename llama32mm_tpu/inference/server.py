@@ -96,10 +96,21 @@ class ContinuousBatchingServer:
         top_k: int = 50,
         eos_token_id: int = -1,
         steps_per_sync: int = 8,
+        prefill_chunk: Optional[int] = None,
         rng: Optional[jax.Array] = None,
     ):
+        """``prefill_chunk=C`` enables **chunked admission** (Sarathi-style):
+        a long prompt prefills ``C`` tokens per ``step()`` into a scratch
+        cache, with a decode dispatch for the already-running slots between
+        chunks — admission no longer stalls in-flight decodes for the whole
+        prompt (at 32k a monolithic prefill is seconds of stall). The image
+        tower still encodes in one program (it is ~17 ms and has no
+        sequential structure to split); only the decoder pass chunks.
+        Token-for-token identical to monolithic admission."""
         if kv_dtype not in (None, "int8"):
             raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
+        if prefill_chunk is not None and prefill_chunk < 1:
+            raise ValueError(f"prefill_chunk must be >= 1, got {prefill_chunk}")
         if prompt_buckets is not None and prompt_buckets != "auto":
             prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         self.params = params
@@ -132,6 +143,12 @@ class ContinuousBatchingServer:
         self._next_id = 0
         self._prefill_jit = {}
         self._decode_jit = {}
+        self.prefill_chunk = prefill_chunk
+        self._inflight: Optional[dict] = None  # chunked admission in progress
+        self._encode_jit = {}
+        self._chunk_jit = None
+        self._splice_jit = None
+        self._scratch_jit = None
 
     # -- compiled programs --------------------------------------------------
 
@@ -240,6 +257,170 @@ class ContinuousBatchingServer:
 
         return jax.jit(decode_fn, donate_argnums=(1,) if self._donate else ())
 
+    # -- chunked admission programs ----------------------------------------
+
+    def _make_encode(self, bucket: int, use_image: bool):
+        """ViT encode + token embed + image-feature splice → UNSCALED prompt
+        embeddings [1, bucket, H] (``llama_forward`` applies the √hidden
+        parity scale itself)."""
+        cfg = self.config
+        tc = cfg.text_config
+        impl = self.impl
+
+        def encode_fn(params, ids, px, pad_mask):
+            from llama32mm_tpu.models.vlm import (
+                encode_image,
+                merge_input_ids_with_image_features,
+            )
+
+            embeds = params["language_model"]["model"]["tok_emb"]["weight"][
+                jnp.clip(ids, 0, tc.vocab_size - 1)
+            ]
+            if use_image:
+                feats = encode_image(params, cfg, px, impl=impl)
+                embeds, _ = merge_input_ids_with_image_features(
+                    feats, embeds, ids, pad_mask, cfg.image_token_index
+                )
+            return embeds
+
+        return jax.jit(encode_fn)
+
+    def _make_scratch(self):
+        tc = self.config.text_config
+        adtype = jnp.int8 if self.kv_dtype == "int8" else tc.jnp_dtype
+        S = self.max_cache_length
+        return jax.jit(lambda: init_kv_cache(tc, 1, max_length=S, dtype=adtype))
+
+    def _make_chunk(self, C: int):
+        """One decoder pass over C prompt tokens at offset ``off`` into the
+        scratch cache. ONE executable serves every bucket, offset, and
+        prompt (all of those are runtime values). Also returns lm_head
+        logits at the prompt's last valid position clamped into this chunk —
+        the host keeps the chunk where it actually lands."""
+        cfg = self.config
+        tc = cfg.text_config
+        impl = self.impl
+
+        def chunk_fn(params, scratch: KVCache, emb_chunk, pad_row, off, true_len):
+            from llama32mm_tpu.models.language import llama_forward, lm_head_apply
+            from llama32mm_tpu.ops.attention import AttnMask
+
+            mask = AttnMask(kv_valid=pad_row, q_offset=off)
+            out = llama_forward(
+                params["language_model"]["model"],
+                tc,
+                input_embeds=emb_chunk,
+                attention_mask=mask,
+                position_ids=(off + jnp.arange(C))[None, :],
+                kv_cache=scratch._replace(pos=off),
+                impl=impl,
+            )
+            idx = jnp.clip(true_len - 1 - off, 0, C - 1)
+            h_last = jax.lax.dynamic_slice_in_dim(out.hidden_states, idx, 1, axis=1)
+            logits = lm_head_apply(params["language_model"], tc, h_last, impl=impl)
+            return out.kv_cache, logits[:, 0]
+
+        return jax.jit(chunk_fn, donate_argnums=(1,) if self._donate else ())
+
+    def _make_splice(self):
+        temperature, top_p, top_k = self.sampler
+
+        def splice_fn(params, state: BatchState, scratch: KVCache, logits,
+                      pad_row, filled, true_len, slot, rng):
+            first = select_next_token(logits, rng, temperature, top_p, top_k)
+            first = first[0].astype(jnp.int32)
+            c = state.cache
+            k = jax.lax.dynamic_update_slice(c.k, scratch.k, (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(c.v, scratch.v, (0, slot, 0, 0, 0))
+            ks = vs = None
+            if c.k_scale is not None:
+                ks = jax.lax.dynamic_update_slice(c.k_scale, scratch.k_scale, (0, slot, 0, 0))
+                vs = jax.lax.dynamic_update_slice(c.v_scale, scratch.v_scale, (0, slot, 0, 0))
+            return BatchState(
+                cache=KVCache(
+                    k=k, v=v, pos=c.pos.at[slot].set(filled), k_scale=ks, v_scale=vs
+                ),
+                kv_valid=jax.lax.dynamic_update_slice(
+                    state.kv_valid, pad_row, (slot, 0)
+                ),
+                rope_pos=state.rope_pos.at[slot].set(true_len),
+                last_token=state.last_token.at[slot].set(first),
+            )
+
+        return jax.jit(splice_fn, donate_argnums=(1,) if self._donate else ())
+
+    def _start_admission(self, req: _Request, slot: int) -> None:
+        C = self.prefill_chunk
+        s = req.prompt_len
+        bucket = -(-s // C) * C
+        room = self.max_cache_length - req.max_new_tokens
+        if bucket > room:
+            if s > room:
+                raise ValueError(
+                    f"prompt ({s}) + max_new_tokens ({req.max_new_tokens}) "
+                    f"exceeds cache capacity {self.max_cache_length}"
+                )
+            bucket = s  # chunk-align would overflow: last chunk runs ragged
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :s] = req.input_ids
+        pad = np.zeros((1, bucket), np.int32)
+        pad[0, :s] = 1
+        use_image = req.pixel_values is not None
+        key = (bucket, use_image)
+        if key not in self._encode_jit:
+            self._encode_jit[key] = self._make_encode(bucket, use_image)
+        if use_image:
+            px = jnp.asarray(req.pixel_values, self.config.text_config.jnp_dtype)[None]
+        else:
+            px = jnp.zeros((1, 3, 1, 1), self.config.text_config.jnp_dtype)
+        embeds = self._encode_jit[key](
+            self.params, jnp.asarray(ids), px, jnp.asarray(pad)
+        )
+        if self._scratch_jit is None:
+            self._scratch_jit = self._make_scratch()
+        pad_row = np.zeros((1, self.max_cache_length), np.int32)
+        pad_row[0, :s] = 1
+        self._inflight = {
+            "req": req, "slot": slot, "embeds": embeds,
+            "pad_row": jnp.asarray(pad_row), "true_len": s, "off": 0,
+            "bucket": bucket, "scratch": self._scratch_jit(), "logits": None,
+        }
+
+    def _advance_admission(self) -> None:
+        fl = self._inflight
+        C = self.prefill_chunk
+        off, bucket = fl["off"], fl["bucket"]
+        n = min(C, bucket - off)
+        emb_chunk = jax.lax.dynamic_slice_in_dim(fl["embeds"], off, n, axis=1)
+        if self._chunk_jit is None or self._chunk_jit[0] != C:
+            self._chunk_jit = (C, {})
+        progs = self._chunk_jit[1]
+        if n not in progs:
+            progs[n] = self._make_chunk(n)
+        scratch, logits = progs[n](
+            self.params, fl["scratch"], emb_chunk, fl["pad_row"],
+            jnp.asarray(off, jnp.int32), jnp.asarray(fl["true_len"], jnp.int32),
+        )
+        fl["scratch"] = scratch
+        if off <= fl["true_len"] - 1 < off + n:
+            fl["logits"] = logits
+        fl["off"] = off + n
+        if fl["off"] >= bucket:
+            if self._splice_jit is None:
+                self._splice_jit = self._make_splice()
+            req, slot = fl["req"], fl["slot"]
+            self.state = self._splice_jit(
+                self.params, self.state, fl["scratch"], fl["logits"],
+                fl["pad_row"], jnp.asarray(bucket, jnp.int32),
+                jnp.asarray(fl["true_len"], jnp.int32),
+                jnp.asarray(slot, jnp.int32), self._next_rng(),
+            )
+            req.slot = slot
+            self._by_slot[slot] = req
+            self._inflight = None
+            first = int(np.asarray(self.state.last_token[slot]))
+            self._emit(req, [first])
+
     # -- host-side scheduling -----------------------------------------------
 
     def _bucketed_len(self, s: int, max_new: int) -> int:
@@ -314,13 +495,25 @@ class ContinuousBatchingServer:
             req.slot = None
 
     def step(self) -> list[int]:
-        """Admit pending requests into free slots, then run one decode chunk.
-        Returns ids of requests that finished during this call."""
+        """Admit pending requests into free slots (one prefill chunk's worth
+        when ``prefill_chunk`` is set), then run one decode chunk for the
+        running slots. Returns ids of requests that finished during this
+        call."""
         before = {r.rid for r in self._results.values() if r.finished}
 
-        for slot in range(self.slots):
-            if self._by_slot[slot] is None and self._queue:
-                self._admit(self._queue.popleft(), slot)
+        if self.prefill_chunk is not None:
+            if self._inflight is not None:
+                self._advance_admission()
+            elif self._queue:
+                for slot in range(self.slots):
+                    if self._by_slot[slot] is None:
+                        self._start_admission(self._queue.popleft(), slot)
+                        self._advance_admission()  # first chunk this step
+                        break
+        else:
+            for slot in range(self.slots):
+                if self._by_slot[slot] is None and self._queue:
+                    self._admit(self._queue.popleft(), slot)
 
         active_rows = [r is not None for r in self._by_slot]
         if any(active_rows):
@@ -346,7 +539,11 @@ class ContinuousBatchingServer:
     def run(self) -> dict[int, np.ndarray]:
         """Drive until every submitted request finishes; returns
         ``{request_id: generated token ids}``."""
-        while self._queue or any(r is not None for r in self._by_slot):
+        while (
+            self._queue
+            or self._inflight is not None
+            or any(r is not None for r in self._by_slot)
+        ):
             self.step()
         return {rid: np.asarray(r.tokens) for rid, r in self._results.items()}
 
@@ -366,4 +563,12 @@ class ContinuousBatchingServer:
             "submitted": self._next_id,
             "finished": sum(r.finished for r in self._results.values()),
             "tokens_generated": sum(len(r.tokens) for r in self._results.values()),
+            **(
+                {
+                    "admitting": self._inflight["req"].rid,
+                    "admit_progress": f"{self._inflight['off']}/{self._inflight['bucket']}",
+                }
+                if self._inflight is not None
+                else {}
+            ),
         }

@@ -66,6 +66,52 @@ def test_staggered_requests_match_offline_engine(tiny, kv_dtype):
         )
 
 
+@pytest.mark.parametrize("kv_dtype", [None, "int8"])
+def test_chunked_admission_matches_offline_engine(tiny, kv_dtype):
+    # prefill_chunk smaller than every prompt → each admission spans several
+    # step() calls with decode dispatches of the live slots in between; the
+    # tokens must still be byte-identical to solo engine runs
+    cfg, params = tiny
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    specs = [(9, 1, 6), (12, 5, 10), (14, 7, 4)]
+    want = {
+        i: _engine_tokens(cfg, params, _prompt(cfg, s, key), px, mn, None, kv_dtype)
+        for i, (s, key, mn) in enumerate(specs)
+    }
+
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=None,
+        kv_dtype=kv_dtype, steps_per_sync=3, eos_token_id=-1, prefill_chunk=4,
+    )
+    rids = [
+        srv.submit(_prompt(cfg, s, key)[0], px[0], max_new_tokens=mn)
+        for (s, key, mn) in specs
+    ]
+    results = srv.run()
+    for i, rid in enumerate(rids):
+        np.testing.assert_array_equal(
+            results[rid], want[i], err_msg=f"request {i} diverged (chunked admission)"
+        )
+    # chunk-aligned buckets: one chunk executable serves all three prompts
+    assert srv._chunk_jit is not None and len(srv._chunk_jit[1]) == 1
+
+
+def test_chunked_text_only_and_progress_stats(tiny):
+    cfg, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 10), 0, cfg.vocab_size - 10)
+    want = _engine_tokens(cfg, params, ids, None, 5, None)
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=1, max_cache_length=64, prompt_buckets=None,
+        eos_token_id=-1, prefill_chunk=3,
+    )
+    rid = srv.submit(ids[0], None, max_new_tokens=5)
+    srv.step()  # first chunk only
+    st = srv.stats()
+    assert st["admitting"] == rid and st["admit_progress"] == "3/12"
+    results = srv.run()
+    np.testing.assert_array_equal(results[rid], want)
+
+
 def test_int4_params_serve_through_server(tiny):
     # capacity mode (docs/serving.md): int4-packed weights through the full
     # continuous-batching path, token-equal to the offline int4 engine
