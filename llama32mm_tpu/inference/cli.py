@@ -37,6 +37,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--dtype", choices=["auto", "float16", "bfloat16", "float32"],
                         default="auto")
     parser.add_argument("--seed", type=int, default=0, help="Sampling PRNG seed.")
+    parser.add_argument("--spec-lookup", type=int, default=0, metavar="K",
+                        help="Prompt-lookup speculative decoding: draft K tokens "
+                             "per step and verify in one forward (greedy only; "
+                             "exact — see docs/serving.md).")
     return parser.parse_args(argv)
 
 
@@ -85,7 +89,8 @@ def run_custom_inference(args: argparse.Namespace) -> str:
     # across prompt lengths within each 128-wide band.
     cache_len = -(-(prompt_len + args.max_new_tokens) // 128) * 128
     engine = InferenceEngine(
-        model.params, model.config, max_cache_length=cache_len, prompt_buckets="auto"
+        model.params, model.config, max_cache_length=cache_len, prompt_buckets="auto",
+        spec_lookup=args.spec_lookup if args.temperature == 0.0 else 0,
     )
 
     result = engine.generate(

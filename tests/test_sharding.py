@@ -258,3 +258,35 @@ def test_sharded_continuous_batching_server_matches(tiny):
     got = run(shard_params(params, cfg, mesh))
     for rid in want:
         np.testing.assert_array_equal(got[rid], want[rid], err_msg=f"request {rid}")
+
+
+def test_sharded_continuous_batching_server(tiny):
+    """Multi-chip serving: the continuous-batching scheduler's compiled
+    programs (chunked admission + per-slot batched decode) run unchanged over
+    TP-sharded params on the virtual mesh, token-equal to the unsharded
+    server."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    from llama32mm_tpu.inference.server import ContinuousBatchingServer
+
+    cfg, params = tiny
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    n_img = cfg.text_config.num_image_tokens
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, 11), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :n_img].set(cfg.image_token_index)
+
+    def serve(p):
+        srv = ContinuousBatchingServer(
+            p, cfg, slots=2, max_cache_length=64, prompt_buckets=None,
+            eos_token_id=-1, steps_per_sync=3, prefill_chunk=4,
+        )
+        r0 = srv.submit(ids[0], px[0], max_new_tokens=6)
+        r1 = srv.submit(ids[0, :9], px[0], max_new_tokens=5)
+        out = srv.run()
+        return out[r0], out[r1]
+
+    want = serve(params)
+    mesh = create_mesh(dp=1, tp=2)
+    got = serve(shard_params(params, cfg, mesh))
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
