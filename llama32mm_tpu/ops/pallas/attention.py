@@ -511,13 +511,154 @@ def _flash_backward(q, k, v, kv_valid, q_offset, o, lse, do, causal, block_q, bl
     )
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning (GSPMD/Shardy): a pallas_call is an opaque custom call —
+# without a partitioning rule the SPMD partitioner REPLICATES it, all-gathering
+# TP-sharded heads (exactly what the sharding layer exists to avoid; maxtext
+# wraps its splash kernels for the same reason). These wrappers declare the
+# kernels data-parallel over batch and the KV-head axis. The q heads are
+# reshaped to [B, n_kv, group, ...] so the q and kv head dims share ONE
+# sharding factor — they must shard together or per-shard GQA grouping breaks.
+# Seq/head_dim stay replicated (the partition fn forces a reshard if a caller
+# shards them).
+# ---------------------------------------------------------------------------
+
+
+def _bh_axes(arg_infos):
+    sh = arg_infos[0].sharding
+    spec = tuple(sh.spec) if sh is not None and sh.spec is not None else ()
+    b_ax = spec[0] if len(spec) > 0 else None
+    h_ax = spec[1] if len(spec) > 1 else None
+    return b_ax, h_ax
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_forward(causal: bool, block_q: int, block_k: int, scaled: bool, emit_lse: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def impl(q5, k, v, kvv, qoff, *scales):
+        b, G, g, tq, hd = q5.shape
+        q = q5.reshape(b, G * g, tq, hd)
+        ks, vs = scales if scaled else (None, None)
+        res = _flash_forward(
+            q, k, v, kvv, qoff, causal, block_q, block_k,
+            k_scale=ks, v_scale=vs, emit_lse=emit_lse,
+        )
+        if emit_lse:
+            out, lse = res
+            return out.reshape(b, G, g, tq, hd), lse.reshape(b, G, g, tq)
+        return res.reshape(b, G, g, tq, hd)
+
+    terms = ["b G g q d", "b G k d", "b G k d", "b k", ""]
+    if scaled:
+        terms += ["b G k", "b G k"]
+    outs = ["b G g q d"] + (["b G g q"] if emit_lse else [])
+    rule = ", ".join(terms) + " -> " + ", ".join(outs)
+
+    def shardings(mesh, arg_infos):
+        b_ax, h_ax = _bh_axes(arg_infos)
+        P = PartitionSpec
+        q_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None, None))
+        kv_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
+        args = [q_sh, kv_sh, kv_sh, NamedSharding(mesh, P(b_ax, None)),
+                NamedSharding(mesh, P())]
+        if scaled:
+            args += [NamedSharding(mesh, P(b_ax, h_ax, None))] * 2
+        out = (q_sh, NamedSharding(mesh, P(b_ax, h_ax, None, None))) if emit_lse else q_sh
+        return out, tuple(args)
+
+    def partition(mesh, arg_infos, result_infos):
+        out, args = shardings(mesh, arg_infos)
+        return mesh, impl, out, args
+
+    def infer(mesh, arg_infos, result_infos):
+        return shardings(mesh, arg_infos)[0]
+
+    f = custom_partitioning(impl)
+    f.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                    sharding_rule=rule)
+    return f
+
+
+def _forward_spmd(q, k, v, kv_valid, q_offset, causal, block_q, block_k,
+                  k_scale=None, v_scale=None, emit_lse=False):
+    b, nq, tq, hd = q.shape
+    nkv = k.shape[1]
+    g = nq // nkv
+    q5 = q.reshape(b, nkv, g, tq, hd)
+    f = _spmd_forward(causal, block_q, block_k, k_scale is not None, emit_lse)
+    scales = (k_scale, v_scale) if k_scale is not None else ()
+    res = f(q5, k, v, kv_valid, q_offset, *scales)
+    if emit_lse:
+        out5, lse4 = res
+        return out5.reshape(b, nq, tq, hd), lse4.reshape(b * nq, 1, tq)
+    return res.reshape(b, nq, tq, hd)
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_backward(causal: bool, block_q: int, block_k: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def impl(q5, k, v, kvv, qoff, o5, lse4, do5):
+        b, G, g, tq, hd = q5.shape
+        nq = G * g
+        dq, dk, dv = _flash_backward(
+            q5.reshape(b, nq, tq, hd), k, v, kvv, qoff,
+            o5.reshape(b, nq, tq, hd), lse4.reshape(b * nq, 1, tq),
+            do5.reshape(b, nq, tq, hd), causal, block_q, block_k,
+        )
+        return dq.reshape(b, G, g, tq, hd), dk, dv
+
+    rule = (
+        "b G g q d, b G k d, b G k d, b k, , b G g q d, b G g q, b G g q d"
+        " -> b G g q d, b G k d, b G k d"
+    )
+
+    def shardings(mesh, arg_infos):
+        b_ax, h_ax = _bh_axes(arg_infos)
+        P = PartitionSpec
+        q_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None, None))
+        kv_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
+        lse_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
+        args = (q_sh, kv_sh, kv_sh, NamedSharding(mesh, P(b_ax, None)),
+                NamedSharding(mesh, P()), q_sh, lse_sh, q_sh)
+        return (q_sh, kv_sh, kv_sh), args
+
+    def partition(mesh, arg_infos, result_infos):
+        out, args = shardings(mesh, arg_infos)
+        return mesh, impl, out, args
+
+    def infer(mesh, arg_infos, result_infos):
+        return shardings(mesh, arg_infos)[0]
+
+    f = custom_partitioning(impl)
+    f.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                    sharding_rule=rule)
+    return f
+
+
+def _backward_spmd(q, k, v, kv_valid, q_offset, o, lse, do, causal, block_q, block_k):
+    b, nq, tq, hd = q.shape
+    nkv = k.shape[1]
+    g = nq // nkv
+    f = _spmd_backward(causal, block_q, block_k)
+    dq5, dk, dv = f(
+        q.reshape(b, nkv, g, tq, hd), k, v, kv_valid, q_offset,
+        o.reshape(b, nkv, g, tq, hd), lse.reshape(b, nkv, g, tq),
+        do.reshape(b, nkv, g, tq, hd),
+    )
+    return dq5.reshape(b, nq, tq, hd), dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _flash_train(causal, block_q, block_k, q, k, v, kv_valid, q_offset):
-    return _flash_forward(q, k, v, kv_valid, q_offset, causal, block_q, block_k)
+    return _forward_spmd(q, k, v, kv_valid, q_offset, causal, block_q, block_k)
 
 
 def _flash_train_fwd(causal, block_q, block_k, q, k, v, kv_valid, q_offset):
-    out, lse = _flash_forward(
+    out, lse = _forward_spmd(
         q, k, v, kv_valid, q_offset, causal, block_q, block_k, emit_lse=True
     )
     return out, (q, k, v, kv_valid, q_offset, out, lse)
@@ -527,7 +668,7 @@ def _flash_train_bwd(causal, block_q, block_k, res, do):
     import numpy as np
 
     q, k, v, kv_valid, q_offset, out, lse = res
-    dq, dk, dv = _flash_backward(
+    dq, dk, dv = _backward_spmd(
         q, k, v, kv_valid, q_offset, out, lse, do, causal, block_q, block_k
     )
     # integer primals take float0 cotangents
@@ -560,7 +701,7 @@ def flash_gqa_attention(
         q_offset = jnp.asarray(q_offset, jnp.int32)
         return _flash_train(causal, block_q, block_k, q, k, v, kv_valid, q_offset)
     # int8-KV serving path (inference-only; no gradient defined)
-    return _flash_forward(
-        q, k, v, kv_valid, q_offset, causal, block_q, block_k,
-        k_scale=k_scale, v_scale=v_scale,
+    return _forward_spmd(
+        q, k, v, kv_valid.astype(jnp.int32), jnp.asarray(q_offset, jnp.int32),
+        causal, block_q, block_k, k_scale=k_scale, v_scale=v_scale,
     )

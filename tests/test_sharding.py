@@ -290,3 +290,44 @@ def test_sharded_continuous_batching_server(tiny):
     got = serve(shard_params(params, cfg, mesh))
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_flash_kernel_partitions_over_heads(tiny):
+    """The flash custom call declares SPMD rules (custom_partitioning):
+    head-sharded q/k/v stay sharded through the kernel — the partitioner must
+    not replicate them (the failure mode of an unannotated pallas_call) —
+    and gradients flow through the partitioned backward."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llama32mm_tpu.ops.pallas.attention import flash_gqa_attention
+
+    mesh = create_mesh(dp=1, tp=2)
+    b, nq, nkv, tq, tk, hd = 1, 4, 2, 16, 32, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, nq, tq, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, nkv, tk, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, nkv, tk, hd), jnp.float32)
+    kvv = jnp.ones((b, tk), jnp.int32)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_gqa_attention(q, k, v, kvv, 16, block_q=8, block_k=16) ** 2
+        )
+
+    want = loss(q, k, v)
+    want_g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    qs = jax.device_put(q, NamedSharding(mesh, P(None, "tp", None, None)))
+    ksh = jax.device_put(k, NamedSharding(mesh, P(None, "tp", None, None)))
+    vsh = jax.device_put(v, NamedSharding(mesh, P(None, "tp", None, None)))
+
+    out = jax.jit(lambda q, k, v: flash_gqa_attention(q, k, v, kvv, 16, block_q=8, block_k=16))(qs, ksh, vsh)
+    # forward output keeps the head sharding (no replication)
+    assert "tp" in str(out.sharding.spec), out.sharding
+    got = jax.jit(loss)(qs, ksh, vsh)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    got_g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ksh, vsh)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4)
