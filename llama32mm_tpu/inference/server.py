@@ -391,7 +391,15 @@ class ContinuousBatchingServer:
         C = self.prefill_chunk
         off, bucket = fl["off"], fl["bucket"]
         n = min(C, bucket - off)
-        emb_chunk = jax.lax.dynamic_slice_in_dim(fl["embeds"], off, n, axis=1)
+        # Traced-offset slice: an eager dynamic_slice bakes each offset into
+        # a fresh tiny executable (a remote compile per chunk on a tunneled
+        # backend); one jitted slicer per (embeds shape, n) serves them all.
+        key = ("slice", n)
+        if key not in self._encode_jit:
+            self._encode_jit[key] = jax.jit(
+                lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, n, axis=1)
+            )
+        emb_chunk = self._encode_jit[key](fl["embeds"], jnp.asarray(off, jnp.int32))
         if self._chunk_jit is None or self._chunk_jit[0] != C:
             self._chunk_jit = (C, {})
         progs = self._chunk_jit[1]

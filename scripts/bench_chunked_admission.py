@@ -51,15 +51,21 @@ def measure(params, cfg, chunk, long_prompt=None):
     )
 
     def scenario():
-        """Long-running r0 decodes; the heavy prompt is admitted next to it
-        mid-stream. Returns the gaps between steps that advanced r0."""
+        """r0 decodes in steady state; the heavy prompt is admitted next to
+        it. Returns the inter-token gaps r0 experiences AFTER its own
+        admission (its own prefill is TTFT, not a cross-request stall) —
+        the max over the co-admission window is the stall the heavy request
+        inflicts on it."""
         r0 = srv.submit(np.asarray(ids[0]), px0, max_new_tokens=120)
+        # drive r0 through its own admission into steady decode first
+        while len(srv.tokens_so_far(r0)) < 2:
+            srv.step()
         gaps = []
         last = time.perf_counter()
-        n0 = 0
+        n0 = len(srv.tokens_so_far(r0))
         heavy = None
         for i in range(60):
-            if i == 6 and heavy is None:
+            if i == 4 and heavy is None:
                 heavy = srv.submit(np.asarray(ids[0]), px0, max_new_tokens=120)
             srv.step()
             now = time.perf_counter()
