@@ -87,7 +87,9 @@ def run_custom_inference(args: argparse.Namespace) -> str:
     # minor dim of the decode score matrix — ragged lane tiles measured
     # slower than the dead tail); auto-bucketing reuses the compiled program
     # across prompt lengths within each 128-wide band.
-    cache_len = -(-(prompt_len + args.max_new_tokens) // 128) * 128
+    # (+spec_lookup: each speculative verify step writes K+1 cache entries,
+    # so the engine requires K slots of headroom past prompt+max_new)
+    cache_len = -(-(prompt_len + args.max_new_tokens + args.spec_lookup) // 128) * 128
     engine = InferenceEngine(
         model.params, model.config, max_cache_length=cache_len, prompt_buckets="auto",
         spec_lookup=args.spec_lookup if args.temperature == 0.0 else 0,

@@ -87,6 +87,22 @@ def build_decode_mask(
     return jnp.where(ok[:, None, None, :], jnp.asarray(0.0, dtype), neg)
 
 
+def bucketed_len(s: int, max_new_tokens: int, cache_len: int, buckets) -> int:
+    """Shared prompt-bucketing policy (engine + server): smallest bucket ≥ s
+    whose generation still fits the cache; ``"auto"`` = next 128 multiple;
+    falls back to the exact length when no bucket fits."""
+    if buckets is None:
+        return s
+    room = cache_len - max_new_tokens
+    if buckets == "auto":
+        cand = min(-(-s // 128) * 128, room)
+        return cand if cand >= s else s
+    for b in buckets:
+        if b >= s and b <= room:
+            return b
+    return s
+
+
 class GenerateResult(NamedTuple):
     tokens: jax.Array  # [B, max_new_tokens] generated ids (eos-padded)
     num_generated: jax.Array  # [B] count of valid tokens (incl. eos)
@@ -146,18 +162,7 @@ class InferenceEngine:
         self._generate_jit = {}
 
     def _bucketed_len(self, s: int, max_new_tokens: int) -> int:
-        """Smallest bucket ≥ s whose generation still fits the cache; falls
-        back to the exact length when no bucket fits."""
-        if self.prompt_buckets is None:
-            return s
-        room = self.max_cache_length - max_new_tokens
-        if self.prompt_buckets == "auto":
-            cand = min(-(-s // 128) * 128, room)
-            return cand if cand >= s else s
-        for b in self.prompt_buckets:
-            if b >= s and b <= room:
-                return b
-        return s
+        return bucketed_len(s, max_new_tokens, self.max_cache_length, self.prompt_buckets)
 
     def _make_generate(self, max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image):
         cfg = self.config
@@ -397,6 +402,16 @@ class InferenceEngine:
                 )
             if b != 1:
                 raise ValueError("spec_lookup decoding supports batch size 1")
+            if s + max_new_tokens + self.spec_lookup > self.max_cache_length:
+                # every verify step writes K+1 entries even on the final
+                # iteration — without this headroom the last write would run
+                # past the cache and dynamic_update_slice would CLAMP the
+                # start, silently corrupting committed slots
+                raise ValueError(
+                    f"spec_lookup={self.spec_lookup} needs K extra cache slots: "
+                    f"prompt ({s}) + max_new_tokens ({max_new_tokens}) + K > "
+                    f"capacity {self.max_cache_length}"
+                )
             key = ("spec", max_new_tokens, eos_token_id, use_image)
             if key not in self._generate_jit:
                 self._generate_jit[key] = self._make_generate_spec(*key[1:])

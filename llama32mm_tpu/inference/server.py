@@ -432,25 +432,30 @@ class ContinuousBatchingServer:
     # -- host-side scheduling -----------------------------------------------
 
     def _bucketed_len(self, s: int, max_new: int) -> int:
-        room = self.max_cache_length - max_new
-        if s > room:
-            raise ValueError(
-                f"prompt ({s}) + max_new_tokens ({max_new}) exceeds cache "
-                f"capacity {self.max_cache_length}"
-            )
-        if self.prompt_buckets is None:
-            return s
-        if self.prompt_buckets == "auto":
-            cand = min(-(-s // 128) * 128, room)
-            return cand if cand >= s else s
-        for b in self.prompt_buckets:
-            if b >= s and b <= room:
-                return b
-        return s
+        # capacity was validated at submit(); policy shared with the engine
+        from llama32mm_tpu.inference.engine import bucketed_len
+
+        return bucketed_len(s, max_new, self.max_cache_length, self.prompt_buckets)
 
     def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 256) -> int:
         """Queue a request; returns its id. ``input_ids``: [s] or [1, s]."""
-        ids = np.asarray(input_ids).reshape(-1)
+        ids = np.asarray(input_ids)
+        if ids.ndim == 2 and ids.shape[0] == 1:
+            ids = ids[0]
+        if ids.ndim != 1:
+            # reshape(-1) here would silently concatenate a [B, s] batch of
+            # prompts into one request — one submit() call is one request
+            raise ValueError(
+                f"submit() takes ONE prompt ([s] or [1, s]); got shape "
+                f"{np.asarray(input_ids).shape} — call submit once per request"
+            )
+        # Reject oversized requests NOW: failing later at admission would pop
+        # the request off the queue mid-step and strand it unfinished.
+        if ids.shape[0] + max_new_tokens > self.max_cache_length:
+            raise ValueError(
+                f"prompt ({ids.shape[0]}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds cache capacity {self.max_cache_length}"
+            )
         px = None if pixel_values is None else np.asarray(pixel_values)
         if px is not None and px.ndim == 4:
             px = px[0]

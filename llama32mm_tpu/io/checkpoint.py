@@ -360,9 +360,20 @@ def load_checkpoint_params(
                 if streaming and quantize_int8 and path in _QUANT_STREAM_PATHS:
                     buf = _tree_get(host, list(path))
                     if buf is None:
+                        # honor the GSPMD placement: q takes the float
+                        # weight's sharding (same rank/shape); the per-channel
+                        # scale [L, out] keeps the layer and output axes
+                        sh = shard_leaf(path)
+                        scale_sh = None
+                        if sh is not None:
+                            from jax.sharding import NamedSharding, PartitionSpec
+
+                            sp = tuple(sh.spec)
+                            sp = sp + (None,) * (len(tshape) - len(sp))
+                            scale_sh = NamedSharding(sh.mesh, PartitionSpec(sp[0], sp[-1]))
                         buf = {
-                            "q": alloc(tshape, None, jnp.int8),
-                            "scale": alloc(tshape[:1] + tshape[-1:], None, jnp.float32),
+                            "q": alloc(tshape, sh, jnp.int8),
+                            "scale": alloc(tshape[:1] + tshape[-1:], scale_sh, jnp.float32),
                         }
                     row = jnp.asarray(np.asarray(tensor.astype(stage_dtype)))
                     qb, sb = write_qrow(buf["q"], buf["scale"], row, layer_idx)
@@ -438,6 +449,14 @@ def load_checkpoint_params(
                 )
             else:
                 val = host_node.get(name) if isinstance(host_node, dict) else None
+                if val is None and p == ("language_model", "lm_head", "weight"):
+                    # Tied-embedding checkpoints (the normal 1B/3B HF layout)
+                    # simply omit lm_head — back-fill from the loaded
+                    # embedding (tie semantics) rather than paying a full
+                    # host init-tree build for this one leaf.
+                    emb = _tree_get(host, ["language_model", "model", "tok_emb", "weight"])
+                    if emb is not None and not isinstance(emb, dict):
+                        val = emb
                 if val is None:
                     missing.append(".".join(p))
                     arr = jnp.asarray(np.asarray(get_init(p)), dtype=dt)

@@ -89,6 +89,8 @@ def dequantize_weight(qw: dict, dtype=jnp.bfloat16) -> jax.Array:
         w32 = vals.astype(jnp.float32) * scale[..., None, :]
         return w32.reshape(*q4.shape[:-2], ci, co).astype(dtype)
     q, scale = qw["q"], qw["scale"]
+    if q.ndim == scale.ndim + 1:  # stacked [L, in, out] with scales [L, out]
+        scale = scale[..., None, :]
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 

@@ -139,9 +139,13 @@ def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
                 s = s["weight"]  # quantized leaf replaced the {"weight": ...} node
             pspec = tuple(s.spec) if isinstance(s, NamedSharding) else ()
             qkey = "q4" if "q4" in p else "q"
-            # int4 packs the contraction dim (rows halved) — sharding specs
-            # only ever split the OUTPUT axis of these leaves, so the float
-            # weight's sharding applies to the packed tensor unchanged.
+            # The packed/int tensor reuses the float weight's sharding: same
+            # rank, and halving the contraction dim (int4) keeps divisibility.
+            # NOTE: out_proj/w_down specs shard the INPUT (contraction) axis;
+            # for int4 that splits quant groups across shards — GSPMD keeps
+            # the grouped einsum correct (partial sums + collectives), and
+            # the grouped scale is replicated (its out axis is unsharded for
+            # exactly those leaves), verified by test_int4_sharded_forward.
             if p[qkey].ndim == 4:  # fused [L, in, tp, chunk] — scale [L, tp, chunk]
                 tp_axis = pspec[2] if len(pspec) > 2 else None
                 scale_sh = _ns(mesh, None, tp_axis, None)

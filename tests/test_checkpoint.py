@@ -251,6 +251,53 @@ def test_streaming_load_sharded(tmp_path):
     )
 
 
+def test_streaming_quantized_load_sharded(tmp_path):
+    """streaming int8 quantization under a sharding tree: the q buffers take
+    the float weight's GSPMD placement and scales keep the (layer, out)
+    axes — not silently unsharded on one device (the 90B path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+    from llama32mm_tpu.ops.quant import dequantize_weight
+    from llama32mm_tpu.parallel.mesh import create_mesh
+    from llama32mm_tpu.parallel.sharding import param_shardings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(3), cfg, tie_weights=False)
+    save_checkpoint_params(str(tmp_path), params, cfg)
+
+    mesh = create_mesh(dp=1, tp=2)
+    shard_tree = param_shardings(cfg, mesh, params_like=params)
+    streamed = load_checkpoint_params(
+        str(tmp_path), cfg, shardings=shard_tree, verbose=False,
+        streaming=True, quantize_int8=True,
+    )
+    leaf = streamed["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"]
+    want_sh = shard_tree["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"]
+    assert isinstance(leaf["q"].sharding, NamedSharding)
+    assert leaf["q"].sharding.spec == want_sh.spec
+    # scale [L, out] keeps the layer axis + the weight's out axis
+    assert tuple(leaf["scale"].sharding.spec) == (want_sh.spec[0], want_sh.spec[-1])
+    # values match the unsharded quantized load
+    plain = load_checkpoint_params(
+        str(tmp_path), cfg, verbose=False, streaming=True, quantize_int8=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(dequantize_weight(leaf, jnp.float32)),
+        np.asarray(dequantize_weight(
+            plain["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"],
+            jnp.float32,
+        )),
+        atol=1e-6,
+    )
+
+
 def _flat(tree, path=()):
     for k, v in tree.items():
         if isinstance(v, dict):

@@ -94,3 +94,22 @@ def test_spec_rejects_sampling_and_batch(tiny):
     px2 = jnp.concatenate([px, px], axis=0)
     with pytest.raises(ValueError, match="batch size 1"):
         eng.generate(ids2, px2, max_new_tokens=4, temperature=0.0)
+
+
+def test_spec_composes_with_int8_serving(tiny):
+    # spec_lookup through int8 weights + int8 KV must equal the int8 engine's
+    # greedy output (the multi-token verify step quantizes K+1 cache entries
+    # at once; stale-slot masking must still hold)
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    cfg, params = tiny
+    q8 = quantize_llama_params(params)
+    ids, px = _prompt(cfg, 11), _px()
+    eng = InferenceEngine(q8, cfg, max_cache_length=96, kv_dtype="int8")
+    res = eng.generate(ids, px, max_new_tokens=20, temperature=0.0, eos_token_id=-1)
+    want = np.asarray(res.tokens)[0, : int(res.num_generated[0])]
+
+    eng_s = InferenceEngine(q8, cfg, max_cache_length=96, kv_dtype="int8", spec_lookup=3)
+    res_s = eng_s.generate(ids, px, max_new_tokens=20, temperature=0.0, eos_token_id=-1)
+    got = np.asarray(res_s.tokens)[0, : int(res_s.num_generated[0])]
+    np.testing.assert_array_equal(got, want)
