@@ -225,7 +225,16 @@ def _streaming_loader_fns(dt):
         sbuf = jax.lax.dynamic_update_index_in_dim(sbuf, qs["scale"], idx, 0)
         return qbuf, sbuf
 
-    return alloc, write_row, write_qrow
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
+    def write_q4row(qbuf, sbuf, row, idx, group_size):
+        from llama32mm_tpu.ops.quant import quantize_weight_int4
+
+        qs = quantize_weight_int4(row, group_size)
+        qbuf = jax.lax.dynamic_update_index_in_dim(qbuf, qs["q4"], idx, 0)
+        sbuf = jax.lax.dynamic_update_index_in_dim(sbuf, qs["scale"], idx, 0)
+        return qbuf, sbuf
+
+    return alloc, write_row, write_qrow, write_q4row
 
 
 # Decoder-linear target paths that streaming int8 quantization applies to
@@ -251,6 +260,8 @@ def load_checkpoint_params(
     verbose: bool = True,
     streaming: bool = False,
     quantize_int8: bool = False,
+    quantize_int4: bool = False,
+    int4_group_size: int = 128,
 ) -> dict:
     """Load all ``*.safetensors`` under ``model_path`` into this framework's
     param pytree. Returns params with stacked per-layer arrays, cast to the
@@ -274,11 +285,18 @@ def load_checkpoint_params(
     its rows arrive — the bf16 stack never materializes, so 11B-class
     checkpoints load straight into serving form on a 16 GB chip. Embeddings,
     norms, and the vision tower stay in the float dtype (matching
-    ``ops.quant.quantize_llama_params``)."""
+    ``ops.quant.quantize_llama_params``).
+
+    ``quantize_int4=True``: same streaming scheme but packed int4 with
+    per-(group, channel) scales (``bits=4`` serving capacity mode) — at 11B
+    the bf16 stack cannot exist on one chip, so this is the only route from
+    a checkpoint to int4 serving form there."""
     from llama32mm_tpu.io.native_st import iter_tensors
 
-    if quantize_int8 and not streaming:
-        raise ValueError("quantize_int8=True requires streaming=True")
+    if (quantize_int8 or quantize_int4) and not streaming:
+        raise ValueError("quantize_int8/int4=True requires streaming=True")
+    if quantize_int8 and quantize_int4:
+        raise ValueError("choose one of quantize_int8 / quantize_int4")
 
     files = sorted(
         os.path.join(model_path, fn)
@@ -322,7 +340,8 @@ def load_checkpoint_params(
             "streaming=True requires a dict sharding tree (param_shardings) or None"
         )
     if streaming:
-        alloc, write_row, write_qrow = _streaming_loader_fns(dt)
+        alloc, write_row, write_qrow, write_q4row = _streaming_loader_fns(dt)
+    quantize_stream = quantize_int8 or quantize_int4
 
     def shard_leaf(path):
         if not isinstance(shardings, dict):
@@ -357,12 +376,13 @@ def load_checkpoint_params(
                 if tuple(tensor.shape) != expected:
                     skipped.append(f"{key} (shape mismatch)")
                     continue
-                if streaming and quantize_int8 and path in _QUANT_STREAM_PATHS:
+                if streaming and quantize_stream and path in _QUANT_STREAM_PATHS:
                     buf = _tree_get(host, list(path))
                     if buf is None:
                         # honor the GSPMD placement: q takes the float
-                        # weight's sharding (same rank/shape); the per-channel
-                        # scale [L, out] keeps the layer and output axes
+                        # weight's sharding (same rank/shape; int4 halves the
+                        # contraction dim, preserving divisibility); the
+                        # scale keeps the layer and output axes
                         sh = shard_leaf(path)
                         scale_sh = None
                         if sh is not None:
@@ -370,14 +390,34 @@ def load_checkpoint_params(
 
                             sp = tuple(sh.spec)
                             sp = sp + (None,) * (len(tshape) - len(sp))
-                            scale_sh = NamedSharding(sh.mesh, PartitionSpec(sp[0], sp[-1]))
-                        buf = {
-                            "q": alloc(tshape, sh, jnp.int8),
-                            "scale": alloc(tshape[:1] + tshape[-1:], scale_sh, jnp.float32),
-                        }
+                            if quantize_int4:
+                                scale_sh = NamedSharding(
+                                    sh.mesh, PartitionSpec(sp[0], None, sp[-1])
+                                )
+                            else:
+                                scale_sh = NamedSharding(sh.mesh, PartitionSpec(sp[0], sp[-1]))
+                        if quantize_int4:
+                            l, ci, co = tshape
+                            buf = {
+                                "q4": alloc((l, ci // 2, co), sh, jnp.uint8),
+                                "scale": alloc(
+                                    (l, ci // int4_group_size, co), scale_sh, jnp.float32
+                                ),
+                            }
+                        else:
+                            buf = {
+                                "q": alloc(tshape, sh, jnp.int8),
+                                "scale": alloc(tshape[:1] + tshape[-1:], scale_sh, jnp.float32),
+                            }
                     row = jnp.asarray(np.asarray(tensor.astype(stage_dtype)))
-                    qb, sb = write_qrow(buf["q"], buf["scale"], row, layer_idx)
-                    _tree_set(host, list(path), {"q": qb, "scale": sb})
+                    if quantize_int4:
+                        qb, sb = write_q4row(
+                            buf["q4"], buf["scale"], row, layer_idx, int4_group_size
+                        )
+                        _tree_set(host, list(path), {"q4": qb, "scale": sb})
+                    else:
+                        qb, sb = write_qrow(buf["q"], buf["scale"], row, layer_idx)
+                        _tree_set(host, list(path), {"q": qb, "scale": sb})
                 elif streaming:
                     buf = _tree_get(host, list(path))
                     if buf is None:
@@ -395,11 +435,15 @@ def load_checkpoint_params(
                 if tuple(tensor.shape) != tshape:
                     skipped.append(f"{key} (shape mismatch)")
                     continue
-                if streaming and quantize_int8 and path in _QUANT_STREAM_PATHS:
-                    from llama32mm_tpu.ops.quant import quantize_weight
+                if streaming and quantize_stream and path in _QUANT_STREAM_PATHS:
+                    from llama32mm_tpu.ops.quant import quantize_weight, quantize_weight_int4
 
                     arr = jnp.asarray(np.asarray(tensor.astype(stage_dtype)))
-                    _tree_set(host, list(path), jax.jit(quantize_weight)(arr))
+                    if quantize_int4:
+                        qfn = jax.jit(lambda w: quantize_weight_int4(w, int4_group_size))
+                    else:
+                        qfn = jax.jit(quantize_weight)
+                    _tree_set(host, list(path), qfn(arr))
                 elif streaming:
                     sh = shard_leaf(path)
                     arr = np.asarray(tensor.astype(stage_dtype))
@@ -462,8 +506,8 @@ def load_checkpoint_params(
                     arr = jnp.asarray(np.asarray(get_init(p)), dtype=dt)
                     if sub_shard is not None and not isinstance(sub_shard, dict):
                         arr = jax.device_put(arr, sub_shard)
-                elif isinstance(val, dict) and "q" in val:
-                    arr = val  # streaming-quantized leaf: int8 + scale on device
+                elif isinstance(val, dict) and ("q" in val or "q4" in val):
+                    arr = val  # streaming-quantized leaf: int8/int4 + scale on device
                 elif isinstance(val, jax.Array):
                     arr = val  # streaming path: already on device, already placed
                 else:
@@ -656,6 +700,7 @@ def load_hf_model(
     shardings=None,
     streaming: bool = False,
     quantize_int8: bool = False,
+    quantize_int4: bool = False,
 ):
     """Parity: reference ``load_hf_model(model_path, device)`` (utils.py:149-166)
     → ``(MllamaForConditionalGeneration, tokenizer)``, weights tied.
@@ -676,10 +721,10 @@ def load_hf_model(
     )
     params = load_checkpoint_params(
         model_path, config, shardings=shardings, streaming=streaming,
-        quantize_int8=quantize_int8,
+        quantize_int8=quantize_int8, quantize_int4=quantize_int4,
     )
     model = MllamaForConditionalGeneration(config, params=params)
     head = params["language_model"]["lm_head"]["weight"]
-    if not (isinstance(head, dict) and "q" in head):
+    if not (isinstance(head, dict) and ("q" in head or "q4" in head)):
         model.tie_weights()
     return model, tokenizer

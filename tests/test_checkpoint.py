@@ -422,6 +422,58 @@ def test_streaming_quantized_load_matches_post_quantize(tmp_path):
     np.testing.assert_array_equal(np.asarray(res_w.tokens), np.asarray(res_g.tokens))
 
 
+def test_streaming_int4_load_matches_post_quantize(tmp_path):
+    """streaming + quantize_int4 = the only route from a checkpoint to the
+    packed-int4 serving form at scales where the bf16 stack cannot exist;
+    must be bit-identical to float-load-then-quantize(bits=4)."""
+    import jax
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+    from llama32mm_tpu.ops.quant import is_quantized, quantize_llama_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(3), cfg, tie_weights=False)
+    save_checkpoint_params(str(tmp_path), params, cfg)
+
+    want = quantize_llama_params(
+        load_checkpoint_params(str(tmp_path), cfg, verbose=False),
+        bits=4, group_size=32,
+    )
+    got = load_checkpoint_params(
+        str(tmp_path), cfg, verbose=False, streaming=True,
+        quantize_int4=True, int4_group_size=32,
+    )
+
+    blocks_w = want["language_model"]["model"]["blocks"]
+    blocks_g = got["language_model"]["model"]["blocks"]
+    for path in (
+        ("att", "W_query", "weight"), ("ff", "w_down", "weight"),
+    ):
+        w, g = blocks_w, blocks_g
+        for k in path:
+            w, g = w[k], g[k]
+        assert is_quantized(g) and "q4" in g, path
+        np.testing.assert_array_equal(np.asarray(w["q4"]), np.asarray(g["q4"]))
+        np.testing.assert_allclose(np.asarray(w["scale"]), np.asarray(g["scale"]),
+                                   rtol=1e-6)
+    head = got["language_model"]["lm_head"]["weight"]
+    assert is_quantized(head) and "q4" in head
+    assert not is_quantized(got["language_model"]["model"]["tok_emb"]["weight"])
+
+    # serves through the engine identically to the post-quantized tree
+    from llama32mm_tpu.inference.engine import InferenceEngine
+
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, 10), 0, cfg.vocab_size - 10)
+    ids = ids.at[:, :4].set(cfg.image_token_index)
+    px = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 28, 28))
+    res_w = InferenceEngine(want, cfg, max_cache_length=32, kv_dtype="int8").generate(
+        ids, px, max_new_tokens=4, eos_token_id=-1)
+    res_g = InferenceEngine(got, cfg, max_cache_length=32, kv_dtype="int8").generate(
+        ids, px, max_new_tokens=4, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(res_w.tokens), np.asarray(res_g.tokens))
+
+
 def test_quantize_int8_requires_streaming(tmp_path):
     import pytest as _pytest
 
