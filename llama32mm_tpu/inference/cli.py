@@ -37,6 +37,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--dtype", choices=["auto", "float16", "bfloat16", "float32"],
                         default="auto")
     parser.add_argument("--seed", type=int, default=0, help="Sampling PRNG seed.")
+    parser.add_argument("--quantize", choices=["none", "int8", "int4"], default="none",
+                        help="Serving quantization: decoder linears quantized ON "
+                             "DEVICE as checkpoint rows stream in (int8 also "
+                             "enables the int8 KV cache) — how 11B serves on a "
+                             "single 16 GB chip. See docs/serving.md.")
     parser.add_argument("--spec-lookup", type=int, default=0, metavar="K",
                         help="Prompt-lookup speculative decoding: draft K tokens "
                              "per step and verify in one forward (greedy only; "
@@ -72,8 +77,14 @@ def run_custom_inference(args: argparse.Namespace) -> str:
             "Download a checkpoint first: python -m llama32mm_tpu.io.download "
             f"--output-dir {args.hf_weights}"
         )
-    print(f"Loading model from: {args.hf_weights}")
-    model, tokenizer = load_hf_model(args.hf_weights, dtype=dtype)
+    print(f"Loading model from: {args.hf_weights}"
+          + (f" ({args.quantize} serving mode)" if args.quantize != "none" else ""))
+    model, tokenizer = load_hf_model(
+        args.hf_weights, dtype=dtype,
+        streaming=args.quantize != "none",
+        quantize_int8=args.quantize == "int8",
+        quantize_int4=args.quantize == "int4",
+    )
 
     num_image_tokens = model.config.text_config.num_image_tokens
     image_size = model.config.vision_config.image_size
@@ -93,6 +104,7 @@ def run_custom_inference(args: argparse.Namespace) -> str:
     engine = InferenceEngine(
         model.params, model.config, max_cache_length=cache_len, prompt_buckets="auto",
         spec_lookup=args.spec_lookup if args.temperature == 0.0 else 0,
+        kv_dtype="int8" if args.quantize != "none" else None,
     )
 
     result = engine.generate(

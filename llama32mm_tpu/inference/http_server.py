@@ -1,0 +1,201 @@
+"""Minimal HTTP serving front-end over the continuous-batching scheduler.
+
+Stdlib only (``http.server`` + a scheduler thread) — the reference ships a
+one-shot CLI (``Inference/Inference.py``); a production deployment needs a
+process that accepts requests over the wire while earlier ones decode. This
+module is that process:
+
+- a background thread drives ``ContinuousBatchingServer.step()`` whenever
+  work is pending (admissions interleave with decode per the scheduler);
+- ``POST /generate``  — synchronous: submit and wait; body
+  ``{"input_ids": [...], "pixel_values": [[..]] (optional, [3,H,W]),
+  "max_new_tokens": N}``; returns ``{"request_id", "tokens", "text"?}``;
+- ``POST /submit`` — asynchronous: returns ``{"request_id"}`` immediately;
+- ``GET /result/<rid>`` — ``{"finished": bool, "tokens": [...]}`` so far;
+- ``GET /stats`` — scheduler occupancy/queue/progress counters.
+
+All scheduler access is serialized by one lock (the compiled programs do the
+heavy lifting on device; the lock is held for host-side bookkeeping plus one
+dispatch at a time).
+
+Run: ``python -m llama32mm_tpu.inference.http_server --hf-weights DIR
+[--quantize int8] [--port 8000] ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class ServingFrontend:
+    """Owns a ContinuousBatchingServer + the scheduler thread."""
+
+    def __init__(self, server, tokenizer=None):
+        self.srv = server
+        self.tokenizer = tokenizer
+        self._lock = threading.Lock()
+        self._work = threading.Event()
+        self._done_events: dict[int, threading.Event] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _pending(self) -> bool:
+        s = self.srv
+        return bool(
+            s._queue or s._inflight is not None
+            or any(r is not None for r in s._by_slot)
+        )
+
+    def _loop(self):
+        while not self._stop:
+            with self._lock:
+                pending = self._pending()
+                finished = self.srv.step() if pending else []
+            for rid in finished:
+                ev = self._done_events.pop(rid, None)
+                if ev is not None:
+                    ev.set()
+            if not pending:
+                self._work.wait(timeout=0.05)
+                self._work.clear()
+
+    def submit(self, input_ids, pixel_values, max_new_tokens: int) -> int:
+        with self._lock:
+            rid = self.srv.submit(input_ids, pixel_values, max_new_tokens)
+            self._done_events[rid] = threading.Event()
+        self._work.set()
+        return rid
+
+    def wait(self, rid: int, timeout: Optional[float] = None) -> bool:
+        ev = self._done_events.get(rid)
+        if ev is None:  # already finished (event popped by the loop)
+            return True
+        return ev.wait(timeout)
+
+    def result(self, rid: int) -> dict:
+        with self._lock:
+            toks = [int(t) for t in self.srv.tokens_so_far(rid)]
+            fin = self.srv.is_finished(rid)
+        out = {"request_id": rid, "finished": fin, "tokens": toks}
+        if fin and self.tokenizer is not None:
+            out["text"] = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        return out
+
+    def stats(self) -> dict:
+        with self._lock:
+            return self.srv.stats()
+
+    def shutdown(self):
+        self._stop = True
+        self._work.set()
+        self._thread.join(timeout=5)
+
+
+def make_handler(frontend: ServingFrontend):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            try:
+                if self.path == "/stats":
+                    return self._json(200, frontend.stats())
+                if self.path.startswith("/result/"):
+                    rid = int(self.path.rsplit("/", 1)[1])
+                    return self._json(200, frontend.result(rid))
+                return self._json(404, {"error": f"unknown path {self.path}"})
+            except KeyError:
+                return self._json(404, {"error": "unknown request id"})
+            except Exception as e:  # pragma: no cover - defensive
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_POST(self):
+            try:
+                req = self._read_body()
+                ids = np.asarray(req["input_ids"], np.int32)
+                px = req.get("pixel_values")
+                px = None if px is None else np.asarray(px, np.float32)
+                mnt = int(req.get("max_new_tokens", 64))
+                if self.path == "/submit":
+                    rid = frontend.submit(ids, px, mnt)
+                    return self._json(200, {"request_id": rid})
+                if self.path == "/generate":
+                    rid = frontend.submit(ids, px, mnt)
+                    frontend.wait(rid)
+                    return self._json(200, frontend.result(rid))
+                return self._json(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, TypeError) as e:
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # pragma: no cover - defensive
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve_forever(frontend: ServingFrontend, host: str = "0.0.0.0", port: int = 8000):
+    httpd = ThreadingHTTPServer((host, port), make_handler(frontend))
+    return httpd
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="llama32mm-tpu HTTP serving")
+    parser.add_argument("--hf-weights", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--slots", type=int, default=4)
+    parser.add_argument("--max-cache-length", type=int, default=2048)
+    parser.add_argument("--quantize", choices=["none", "int8", "int4"], default="none")
+    parser.add_argument("--prefill-chunk", type=int, default=None)
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args(argv)
+
+    from llama32mm_tpu.inference.server import ContinuousBatchingServer
+    from llama32mm_tpu.io.checkpoint import load_hf_model
+
+    model, tokenizer = load_hf_model(
+        args.hf_weights, dtype=args.dtype,
+        max_cache_length=args.max_cache_length,
+        streaming=args.quantize != "none",
+        quantize_int8=args.quantize == "int8",
+        quantize_int4=args.quantize == "int4",
+    )
+    srv = ContinuousBatchingServer(
+        model.params, model.config, slots=args.slots,
+        max_cache_length=args.max_cache_length,
+        kv_dtype="int8" if args.quantize != "none" else None,
+        eos_token_id=tokenizer.eos_token_id if tokenizer.eos_token_id is not None else -1,
+        prefill_chunk=args.prefill_chunk,
+    )
+    frontend = ServingFrontend(srv, tokenizer)
+    httpd = serve_forever(frontend, args.host, args.port)
+    print(f"serving on {args.host}:{args.port} "
+          f"(slots={args.slots}, quantize={args.quantize})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        frontend.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""HTTP serving front-end: live server over the continuous-batching
+scheduler must return the same tokens as the offline engine, serve
+concurrent sync requests, and report stats/async results."""
+
+import json
+import threading
+import http.client
+
+import jax
+import numpy as np
+import pytest
+
+from llama32mm_tpu import init_vlm_params, tiny_mllama_config
+from llama32mm_tpu.inference.engine import InferenceEngine
+from llama32mm_tpu.inference.http_server import ServingFrontend, serve_forever
+from llama32mm_tpu.inference.server import ContinuousBatchingServer
+
+
+@pytest.fixture(scope="module")
+def live():
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=None,
+        eos_token_id=-1, steps_per_sync=3,
+    )
+    frontend = ServingFrontend(srv)
+    httpd = serve_forever(frontend, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield cfg, params, httpd.server_address[1]
+    httpd.shutdown()
+    frontend.shutdown()
+
+
+def _post(port, path, obj):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, json.dumps(obj), {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def _ids(cfg, s, key=1):
+    n_img = cfg.text_config.num_image_tokens
+    ids = jax.random.randint(jax.random.PRNGKey(key), (1, s), 0, cfg.vocab_size - 10)
+    return np.asarray(ids.at[:, :n_img].set(cfg.image_token_index))[0]
+
+
+def test_generate_matches_offline_engine(live):
+    cfg, params, port = live
+    px = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (3, 28, 28)))
+    ids = _ids(cfg, 11)
+    eng = InferenceEngine(params, cfg, max_cache_length=64)
+    want = np.asarray(
+        eng.generate(ids[None], px[None], max_new_tokens=6, temperature=0.0,
+                     eos_token_id=-1).tokens
+    )[0]
+
+    status, out = _post(port, "/generate", {
+        "input_ids": ids.tolist(), "pixel_values": px.tolist(), "max_new_tokens": 6,
+    })
+    assert status == 200 and out["finished"]
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), want)
+
+
+def test_concurrent_requests_and_stats(live):
+    cfg, params, port = live
+    ids = _ids(cfg, 9, key=3)
+    results = {}
+
+    def call(tag, mnt):
+        results[tag] = _post(port, "/generate", {
+            "input_ids": ids.tolist(), "max_new_tokens": mnt,
+        })
+
+    threads = [threading.Thread(target=call, args=(i, 4 + i)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    for tag, (status, out) in results.items():
+        assert status == 200 and out["finished"], (tag, out)
+        assert len(out["tokens"]) == 4 + tag
+
+    status, st = _get(port, "/stats")
+    assert status == 200 and st["finished"] >= 3
+
+
+def test_async_submit_and_result(live):
+    cfg, params, port = live
+    ids = _ids(cfg, 10, key=5)
+    status, out = _post(port, "/submit", {"input_ids": ids.tolist(), "max_new_tokens": 5})
+    assert status == 200
+    rid = out["request_id"]
+    for _ in range(200):
+        status, res = _get(port, f"/result/{rid}")
+        assert status == 200
+        if res["finished"]:
+            break
+    assert res["finished"] and len(res["tokens"]) == 5
+
+
+def test_bad_request(live):
+    cfg, params, port = live
+    status, out = _post(port, "/generate", {"max_new_tokens": 4})
+    assert status == 400 and "error" in out
