@@ -7,9 +7,21 @@ from llama32mm_tpu.inference.engine import (
 )
 from llama32mm_tpu.inference.server import ContinuousBatchingServer
 
+
+def __getattr__(name):
+    # http front-end imported lazily (pulls in http.server/threading only
+    # when actually serving)
+    if name == "ServingFrontend":
+        from llama32mm_tpu.inference.http_server import ServingFrontend
+
+        return ServingFrontend
+    raise AttributeError(name)
+
+
 __all__ = [
     "InferenceEngine",
     "ContinuousBatchingServer",
+    "ServingFrontend",
     "build_decode_mask",
     "build_prefill_mask",
     "structured_decode_mask",
