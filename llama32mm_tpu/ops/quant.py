@@ -127,6 +127,12 @@ def qlinear(x: jax.Array, qw: dict, impl: str = "auto") -> jax.Array:
             from llama32mm_tpu.ops.pallas.quant_matmul import int4_matmul_pallas
 
             return int4_matmul_pallas(x, q4, scale)
+        if rows > 64:
+            # Prefill/matmul rows: dequantize the weight once (one transient
+            # bf16 copy, ~weight-sized) and run a plain matmul. The grouped
+            # einsum below would materialize a [rows, ng, out] fp32 partial
+            # PER LAYER (gigabytes at 11B prefill — measured to triple TTFT).
+            return jnp.matmul(x, dequantize_weight(qw, x.dtype))
         ci, co = 2 * q4.shape[0], q4.shape[1]
         g = ci // ng
         xg = x.reshape(*x.shape[:-1], ng, g)
