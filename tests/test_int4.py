@@ -42,11 +42,15 @@ def test_int4_pack_layout():
 def test_int4_qlinear_matches_dequant_matmul():
     k = jax.random.PRNGKey(1)
     w = jax.random.normal(k, (64, 40), jnp.float32)
-    x = jax.random.normal(jax.random.fold_in(k, 1), (3, 5, 64), jnp.float32)
     qw = quantize_weight_int4(w, group_size=32)
-    want = x @ dequantize_weight(qw, jnp.float32)
-    got = qlinear(x, qw)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+    deq = dequantize_weight(qw, jnp.float32)
+    # both row regimes: grouped einsum (<=64 rows) and the dequantize-once
+    # matmul route (prefill rows)
+    for shape in ((3, 5, 64), (2, 48, 64)):
+        x = jax.random.normal(jax.random.fold_in(k, shape[-2]), shape, jnp.float32)
+        want = x @ deq
+        got = qlinear(x, qw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
 
 
 def test_int4_pallas_kernel_parity():
