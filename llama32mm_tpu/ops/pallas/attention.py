@@ -519,17 +519,35 @@ def _flash_backward(q, k, v, kv_valid, q_offset, o, lse, do, causal, block_q, bl
 # kernels data-parallel over batch and the KV-head axis. The q heads are
 # reshaped to [B, n_kv, group, ...] so the q and kv head dims share ONE
 # sharding factor — they must shard together or per-shard GQA grouping breaks.
-# Seq/head_dim stay replicated (the partition fn forces a reshard if a caller
-# shards them).
+#
+# The q SEQUENCE axis may also be sharded (context/sequence parallelism over
+# the ``sp`` mesh axis): each shard runs the kernel on its contiguous q chunk
+# with ``q_offset`` advanced by ``shard_index · local_Tq`` so causal masking
+# stays globally correct, while K/V are all-gathered (declared seq-unsharded —
+# the partitioner inserts the gather). In the backward, per-shard dk/dv are
+# partial sums over that shard's q rows and are ``psum``-ed over ``sp``.
+# head_dim / KV-seq stay replicated (the partition fn forces a reshard if a
+# caller shards them).
 # ---------------------------------------------------------------------------
 
 
-def _bh_axes(arg_infos):
+def _bht_axes(arg_infos):
+    """(batch, head, q-seq) mesh axes from the q5 operand's sharding."""
     sh = arg_infos[0].sharding
     spec = tuple(sh.spec) if sh is not None and sh.spec is not None else ()
     b_ax = spec[0] if len(spec) > 0 else None
     h_ax = spec[1] if len(spec) > 1 else None
-    return b_ax, h_ax
+    t_ax = spec[3] if len(spec) > 3 else None
+    return b_ax, h_ax, t_ax
+
+
+def _shard_index(mesh, t_ax):
+    """Linear shard index along a (possibly tuple) mesh-axis spec entry."""
+    axes = (t_ax,) if isinstance(t_ax, str) else tuple(t_ax)
+    ix = jnp.zeros((), jnp.int32)
+    for a in axes:
+        ix = ix * mesh.shape[a] + jax.lax.axis_index(a)
+    return ix
 
 
 @functools.lru_cache(maxsize=None)
@@ -557,20 +575,29 @@ def _spmd_forward(causal: bool, block_q: int, block_k: int, scaled: bool, emit_l
     rule = ", ".join(terms) + " -> " + ", ".join(outs)
 
     def shardings(mesh, arg_infos):
-        b_ax, h_ax = _bh_axes(arg_infos)
+        b_ax, h_ax, t_ax = _bht_axes(arg_infos)
         P = PartitionSpec
-        q_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None, None))
+        q_sh = NamedSharding(mesh, P(b_ax, h_ax, None, t_ax, None))
         kv_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
         args = [q_sh, kv_sh, kv_sh, NamedSharding(mesh, P(b_ax, None)),
                 NamedSharding(mesh, P())]
         if scaled:
             args += [NamedSharding(mesh, P(b_ax, h_ax, None))] * 2
-        out = (q_sh, NamedSharding(mesh, P(b_ax, h_ax, None, None))) if emit_lse else q_sh
+        out = (q_sh, NamedSharding(mesh, P(b_ax, h_ax, None, t_ax))) if emit_lse else q_sh
         return out, tuple(args)
 
     def partition(mesh, arg_infos, result_infos):
         out, args = shardings(mesh, arg_infos)
-        return mesh, impl, out, args
+        t_ax = _bht_axes(arg_infos)[2]
+        if t_ax is None:
+            return mesh, impl, out, args
+
+        def impl_sp(q5, k, v, kvv, qoff, *scales):
+            # per-shard q chunk: advance the causal offset to its global row
+            qoff = qoff + _shard_index(mesh, t_ax) * q5.shape[3]
+            return impl(q5, k, v, kvv, qoff, *scales)
+
+        return mesh, impl_sp, out, args
 
     def infer(mesh, arg_infos, result_infos):
         return shardings(mesh, arg_infos)[0]
@@ -617,18 +644,30 @@ def _spmd_backward(causal: bool, block_q: int, block_k: int):
     )
 
     def shardings(mesh, arg_infos):
-        b_ax, h_ax = _bh_axes(arg_infos)
+        b_ax, h_ax, t_ax = _bht_axes(arg_infos)
         P = PartitionSpec
-        q_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None, None))
+        q_sh = NamedSharding(mesh, P(b_ax, h_ax, None, t_ax, None))
         kv_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
-        lse_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
+        lse_sh = NamedSharding(mesh, P(b_ax, h_ax, None, t_ax))
         args = (q_sh, kv_sh, kv_sh, NamedSharding(mesh, P(b_ax, None)),
                 NamedSharding(mesh, P()), q_sh, lse_sh, q_sh)
         return (q_sh, kv_sh, kv_sh), args
 
     def partition(mesh, arg_infos, result_infos):
         out, args = shardings(mesh, arg_infos)
-        return mesh, impl, out, args
+        t_ax = _bht_axes(arg_infos)[2]
+        if t_ax is None:
+            return mesh, impl, out, args
+
+        def impl_sp(q5, k, v, kvv, qoff, o5, lse4, do5):
+            qoff = qoff + _shard_index(mesh, t_ax) * q5.shape[3]
+            dq, dk, dv = impl(q5, k, v, kvv, qoff, o5, lse4, do5)
+            # per-shard dk/dv only saw this shard's q rows — sum across sp
+            dk = jax.lax.psum(dk, t_ax)
+            dv = jax.lax.psum(dv, t_ax)
+            return dq, dk, dv
+
+        return mesh, impl_sp, out, args
 
     def infer(mesh, arg_infos, result_infos):
         return shardings(mesh, arg_infos)[0]

@@ -4,6 +4,7 @@ from llama32mm_tpu.parallel.sharding import (
     kv_cache_sharding,
     lora_shardings,
     param_shardings,
+    seq_data_sharding,
     shard_params,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "kv_cache_sharding",
     "lora_shardings",
     "param_shardings",
+    "seq_data_sharding",
     "shard_params",
 ]

@@ -17,7 +17,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from llama32mm_tpu.configs import MLLAMAConfig
-from llama32mm_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from llama32mm_tpu.parallel.mesh import AXIS_DP, AXIS_SP, AXIS_TP
 
 
 def _ns(mesh: Mesh, *spec) -> NamedSharding:
@@ -121,6 +121,20 @@ def kv_cache_sharding(mesh: Mesh):
 def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Batch-sharded arrays: [B, ...] on dp."""
     return _ns(mesh, AXIS_DP, *([None] * (ndim - 1)))
+
+
+def seq_data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Batch+sequence-sharded token arrays: ``[B, T, ...]`` on ``(dp, sp)``.
+
+    Feeding ``input_ids``/``labels`` with this sharding context-parallelizes
+    the whole forward/backward: GSPMD propagates the token-axis sharding
+    through embeds/norms/linears/RoPE, and the flash kernel's partitioning
+    rules (ops/pallas/attention.py) keep q sharded over ``sp`` — only K/V are
+    all-gathered per layer. Activation memory per device scales 1/sp, the
+    enabler for long-context training (SURVEY §5 'Long-context')."""
+    if ndim < 2:
+        raise ValueError("sequence sharding needs at least [B, T]")
+    return _ns(mesh, AXIS_DP, AXIS_SP, *([None] * (ndim - 2)))
 
 
 def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:

@@ -38,9 +38,11 @@ def batch(tiny):
 
 def test_mesh_creation():
     mesh = create_mesh(dp=2, tp=4)
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert mesh.shape == {"dp": 2, "sp": 1, "tp": 4}
     with pytest.raises(ValueError, match="needs"):
         create_mesh(dp=4, tp=4)
+    with pytest.raises(ValueError, match="needs"):
+        create_mesh(dp=2, tp=4, sp=2)
 
 
 def test_param_sharding_placement(tiny):
