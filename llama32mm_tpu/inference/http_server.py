@@ -12,7 +12,11 @@ module is that process:
   "max_new_tokens": N}``; returns ``{"request_id", "tokens", "text"?}``;
 - ``POST /submit`` — asynchronous: returns ``{"request_id"}`` immediately;
 - ``GET /result/<rid>`` — ``{"finished": bool, "tokens": [...]}`` so far;
-- ``GET /stats`` — scheduler occupancy/queue/progress counters.
+- ``GET /stats`` — scheduler occupancy/queue/progress counters;
+- ``POST /prefix`` — register a shared prompt prefix (prefix caching): body
+  ``{"input_ids": [...], "pixel_values"?}`` → ``{"prefix_id"}``; subsequent
+  text requests auto-match it (or pin with ``"prefix_id"`` in
+  ``/generate``/``/submit``); ``DELETE /prefix/<pid>`` releases it.
 
 All scheduler access is serialized by one lock (the compiled programs do the
 heavy lifting on device; the lock is held for host-side bookkeeping plus one
@@ -66,12 +70,23 @@ class ServingFrontend:
                 self._work.wait(timeout=0.05)
                 self._work.clear()
 
-    def submit(self, input_ids, pixel_values, max_new_tokens: int) -> int:
+    def submit(self, input_ids, pixel_values, max_new_tokens: int,
+               prefix_id: Optional[int] = None) -> int:
         with self._lock:
-            rid = self.srv.submit(input_ids, pixel_values, max_new_tokens)
+            rid = self.srv.submit(
+                input_ids, pixel_values, max_new_tokens, prefix_id=prefix_id
+            )
             self._done_events[rid] = threading.Event()
         self._work.set()
         return rid
+
+    def register_prefix(self, input_ids, pixel_values=None) -> int:
+        with self._lock:
+            return self.srv.register_prefix(input_ids, pixel_values)
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        with self._lock:
+            self.srv.drop_prefix(prefix_id)
 
     def wait(self, rid: int, timeout: Optional[float] = None) -> bool:
         ev = self._done_events.get(rid)
@@ -134,17 +149,33 @@ def make_handler(frontend: ServingFrontend):
                 ids = np.asarray(req["input_ids"], np.int32)
                 px = req.get("pixel_values")
                 px = None if px is None else np.asarray(px, np.float32)
+                if self.path == "/prefix":
+                    pid = frontend.register_prefix(ids, px)
+                    return self._json(200, {"prefix_id": pid})
                 mnt = int(req.get("max_new_tokens", 64))
+                pfx = req.get("prefix_id")
+                pfx = None if pfx is None else int(pfx)
                 if self.path == "/submit":
-                    rid = frontend.submit(ids, px, mnt)
+                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx)
                     return self._json(200, {"request_id": rid})
                 if self.path == "/generate":
-                    rid = frontend.submit(ids, px, mnt)
+                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx)
                     frontend.wait(rid)
                     return self._json(200, frontend.result(rid))
                 return self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # pragma: no cover - defensive
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_DELETE(self):
+            try:
+                if self.path.startswith("/prefix/"):
+                    frontend.drop_prefix(int(self.path.rsplit("/", 1)[1]))
+                    return self._json(200, {"ok": True})
+                return self._json(404, {"error": f"unknown path {self.path}"})
+            except KeyError:
+                return self._json(404, {"error": "unknown prefix id"})
             except Exception as e:  # pragma: no cover - defensive
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

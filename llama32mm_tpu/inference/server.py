@@ -18,7 +18,13 @@ finish. This module adds that as a TPU-native scheduler:
   is 500 tokens in (the per-row cache write is one XLA scatter per layer,
   ``utils/kvcache.py::update_stacked``);
 - host-side bookkeeping only between dispatches: queueing, slot assignment,
-  EOS / max-new-token completion, per-request token collection.
+  EOS / max-new-token completion, per-request token collection;
+- **prefix caching** (``register_prefix``): the KV of a shared prompt prefix
+  (system preamble, few-shot header, image+instruction template, multi-turn
+  history) is computed once and held in a one-slot cache; admission copies it
+  into the slot and prefills only the suffix at ``q_offset = prefix_len`` —
+  same decoder chunk programs, token-identical outputs, prefill cost
+  proportional to the suffix.
 
 Weights stream from HBM once per decode step regardless of how many slots are
 live, so aggregate tokens/s scales with occupancy (the batch-8 bench point:
@@ -58,10 +64,10 @@ class BatchState(NamedTuple):
 class _Request:
     __slots__ = (
         "rid", "input_ids", "pixel_values", "max_new_tokens", "tokens",
-        "slot", "finished", "prompt_len",
+        "slot", "finished", "prompt_len", "prefix",
     )
 
-    def __init__(self, rid, input_ids, pixel_values, max_new_tokens):
+    def __init__(self, rid, input_ids, pixel_values, max_new_tokens, prefix=None):
         self.rid = rid
         self.input_ids = input_ids  # np [s]
         self.pixel_values = pixel_values  # np [3, H, W] or None
@@ -70,6 +76,23 @@ class _Request:
         self.slot: Optional[int] = None
         self.finished = False
         self.prompt_len = int(input_ids.shape[-1])
+        self.prefix: Optional[_Prefix] = prefix
+
+
+class _Prefix:
+    """A registered shared prompt prefix: its KV lives in a one-slot scratch
+    cache computed once; admissions that hit it prefill only the suffix."""
+
+    __slots__ = ("pid", "input_ids", "has_image", "auto_match", "cache", "length", "hits")
+
+    def __init__(self, pid, input_ids, has_image, auto_match, cache, length):
+        self.pid = pid
+        self.input_ids = input_ids  # np [P]
+        self.has_image = has_image
+        self.auto_match = auto_match
+        self.cache = cache  # KVCache [L, 1, nkv, S, hd] — rows [0, length) filled
+        self.length = length  # true token length P
+        self.hits = 0
 
 
 class ContinuousBatchingServer:
@@ -146,9 +169,12 @@ class ContinuousBatchingServer:
         self.prefill_chunk = prefill_chunk
         self._inflight: Optional[dict] = None  # chunked admission in progress
         self._encode_jit = {}
-        self._chunk_jit = None
+        self._chunk_jit = {}  # chunk size -> jitted decoder pass
         self._splice_jit = None
         self._scratch_jit = None
+        self._prefixes: dict[int, _Prefix] = {}
+        self._next_prefix_id = 0
+        self._copy_jit = None  # deep-copies a prefix cache (admissions donate)
 
     # -- compiled programs --------------------------------------------------
 
@@ -350,9 +376,23 @@ class ContinuousBatchingServer:
         return jax.jit(splice_fn, donate_argnums=(1,) if self._donate else ())
 
     def _start_admission(self, req: _Request, slot: int) -> None:
-        C = self.prefill_chunk
+        """Begin a scratch-cache admission: chunked prefill, prefix-cached
+        prefill, or both. With a prefix, the registered KV is copied into the
+        scratch and only the SUFFIX is embedded and prefilled, starting at
+        ``q_offset = prefix_len`` (the decoder chunk program is offset-agnostic,
+        so the same executables serve prefixed and plain admissions)."""
         s = req.prompt_len
-        bucket = -(-s // C) * C
+        base = 0 if req.prefix is None else req.prefix.length
+        n_suffix = s - base
+        if self.prefill_chunk is not None:
+            C = self.prefill_chunk
+        elif self.prompt_buckets == "auto":
+            # one-shot suffix prefill: pad to the 128-lane band so one chunk
+            # executable serves a range of suffix lengths (engine policy)
+            C = -(-n_suffix // 128) * 128
+        else:
+            C = n_suffix
+        bucket = base + -(-n_suffix // C) * C
         room = self.max_cache_length - req.max_new_tokens
         if bucket > room:
             if s > room:
@@ -361,14 +401,15 @@ class ContinuousBatchingServer:
                     f"exceeds cache capacity {self.max_cache_length}"
                 )
             bucket = s  # chunk-align would overflow: last chunk runs ragged
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :s] = req.input_ids
-        pad = np.zeros((1, bucket), np.int32)
-        pad[0, :s] = 1
+        sbucket = bucket - base  # suffix rows to embed/prefill
+        ids = np.zeros((1, sbucket), np.int32)
+        ids[0, : n_suffix] = req.input_ids[base:]
+        pad = np.zeros((1, sbucket), np.int32)
+        pad[0, : n_suffix] = 1
         use_image = req.pixel_values is not None
-        key = (bucket, use_image)
+        key = (sbucket, use_image)
         if key not in self._encode_jit:
-            self._encode_jit[key] = self._make_encode(bucket, use_image)
+            self._encode_jit[key] = self._make_encode(sbucket, use_image)
         if use_image:
             px = jnp.asarray(req.pixel_values, self.config.text_config.jnp_dtype)[None]
         else:
@@ -376,19 +417,28 @@ class ContinuousBatchingServer:
         embeds = self._encode_jit[key](
             self.params, jnp.asarray(ids), px, jnp.asarray(pad)
         )
-        if self._scratch_jit is None:
-            self._scratch_jit = self._make_scratch()
+        if req.prefix is None:
+            if self._scratch_jit is None:
+                self._scratch_jit = self._make_scratch()
+            scratch = self._scratch_jit()
+        else:
+            # deep copy: admission chunk programs donate the scratch buffers
+            if self._copy_jit is None:
+                self._copy_jit = jax.jit(lambda c: jax.tree.map(jnp.copy, c))
+            scratch = self._copy_jit(req.prefix.cache)
+            req.prefix.hits += 1
         pad_row = np.zeros((1, self.max_cache_length), np.int32)
         pad_row[0, :s] = 1
         self._inflight = {
             "req": req, "slot": slot, "embeds": embeds,
-            "pad_row": jnp.asarray(pad_row), "true_len": s, "off": 0,
-            "bucket": bucket, "scratch": self._scratch_jit(), "logits": None,
+            "pad_row": jnp.asarray(pad_row), "true_len": s, "off": base,
+            "base": base, "chunk": C, "bucket": bucket, "scratch": scratch,
+            "logits": None,
         }
 
     def _advance_admission(self) -> None:
         fl = self._inflight
-        C = self.prefill_chunk
+        C = fl["chunk"]
         off, bucket = fl["off"], fl["bucket"]
         n = min(C, bucket - off)
         # Traced-offset slice: an eager dynamic_slice bakes each offset into
@@ -399,13 +449,12 @@ class ContinuousBatchingServer:
             self._encode_jit[key] = jax.jit(
                 lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, n, axis=1)
             )
-        emb_chunk = self._encode_jit[key](fl["embeds"], jnp.asarray(off, jnp.int32))
-        if self._chunk_jit is None or self._chunk_jit[0] != C:
-            self._chunk_jit = (C, {})
-        progs = self._chunk_jit[1]
-        if n not in progs:
-            progs[n] = self._make_chunk(n)
-        scratch, logits = progs[n](
+        emb_chunk = self._encode_jit[key](
+            fl["embeds"], jnp.asarray(off - fl["base"], jnp.int32)
+        )
+        if n not in self._chunk_jit:
+            self._chunk_jit[n] = self._make_chunk(n)
+        scratch, logits = self._chunk_jit[n](
             self.params, fl["scratch"], emb_chunk, fl["pad_row"],
             jnp.asarray(off, jnp.int32), jnp.asarray(fl["true_len"], jnp.int32),
         )
@@ -437,8 +486,91 @@ class ContinuousBatchingServer:
 
         return bucketed_len(s, max_new, self.max_cache_length, self.prompt_buckets)
 
-    def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 256) -> int:
-        """Queue a request; returns its id. ``input_ids``: [s] or [1, s]."""
+    def register_prefix(self, input_ids, pixel_values=None, auto_match=None) -> int:
+        """Compute and retain the KV of a shared prompt PREFIX (system
+        preamble, few-shot header, image + instruction template, multi-turn
+        history). Subsequent requests whose prompt starts with it skip its
+        prefill entirely: admission copies the cached KV into the slot and
+        prefills only the suffix.
+
+        ``auto_match`` (default: true for text-only prefixes) lets ``submit``
+        hit the prefix automatically by longest token-prefix match. Prefixes
+        carrying an image are never auto-matched (every image request starts
+        with the same placeholder tokens — ids alone can't distinguish the
+        images); pass their ``prefix_id`` to ``submit`` explicitly, with the
+        request's ``pixel_values=None`` (the image is already in the prefix).
+
+        Cost: one slot-sized KV cache held in HBM per registered prefix.
+        """
+        ids = np.asarray(input_ids).reshape(-1).astype(np.int32)
+        P = int(ids.shape[0])
+        if P < 1 or P >= self.max_cache_length:
+            raise ValueError(f"prefix length {P} must be in [1, cache {self.max_cache_length})")
+        px = None if pixel_values is None else np.asarray(pixel_values)
+        if px is not None and px.ndim == 4:
+            px = px[0]
+        use_image = px is not None
+        if auto_match is None:
+            auto_match = not use_image
+        if auto_match and use_image:
+            raise ValueError("image prefixes cannot be auto-matched — pass prefix_id explicitly")
+
+        # one-shot prefill of the prefix into a fresh scratch cache (the same
+        # offset-agnostic chunk program admissions use)
+        pids = np.zeros((1, P), np.int32)
+        pids[0] = ids
+        pad = np.ones((1, P), np.int32)
+        key = (P, use_image)
+        if key not in self._encode_jit:
+            self._encode_jit[key] = self._make_encode(P, use_image)
+        pxj = (
+            jnp.asarray(px, self.config.text_config.jnp_dtype)[None]
+            if use_image
+            else jnp.zeros((1, 3, 1, 1), self.config.text_config.jnp_dtype)
+        )
+        embeds = self._encode_jit[key](self.params, jnp.asarray(pids), pxj, jnp.asarray(pad))
+        if self._scratch_jit is None:
+            self._scratch_jit = self._make_scratch()
+        pad_row = np.zeros((1, self.max_cache_length), np.int32)
+        pad_row[0, :P] = 1
+        if P not in self._chunk_jit:
+            self._chunk_jit[P] = self._make_chunk(P)
+        cache, _ = self._chunk_jit[P](
+            self.params, self._scratch_jit(), embeds, jnp.asarray(pad_row),
+            jnp.asarray(0, jnp.int32), jnp.asarray(P, jnp.int32),
+        )
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = _Prefix(pid, ids, use_image, auto_match, cache, P)
+        return pid
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        """Release a registered prefix (frees its HBM cache)."""
+        del self._prefixes[prefix_id]
+
+    def _match_prefix(self, ids: np.ndarray) -> Optional[_Prefix]:
+        best = None
+        for p in self._prefixes.values():
+            if (
+                p.auto_match
+                and p.length < ids.shape[0]
+                and (best is None or p.length > best.length)
+                and np.array_equal(ids[: p.length], p.input_ids)
+            ):
+                best = p
+        return best
+
+    def submit(
+        self,
+        input_ids,
+        pixel_values=None,
+        max_new_tokens: int = 256,
+        prefix_id: Optional[int] = None,
+    ) -> int:
+        """Queue a request; returns its id. ``input_ids``: [s] or [1, s] — the
+        FULL prompt including any prefix tokens. ``prefix_id`` pins a
+        registered prefix; without it, text-only requests auto-match the
+        longest registered auto-match prefix."""
         ids = np.asarray(input_ids)
         if ids.ndim == 2 and ids.shape[0] == 1:
             ids = ids[0]
@@ -459,9 +591,25 @@ class ContinuousBatchingServer:
         px = None if pixel_values is None else np.asarray(pixel_values)
         if px is not None and px.ndim == 4:
             px = px[0]
+        prefix = None
+        if prefix_id is not None:
+            prefix = self._prefixes[prefix_id]
+            if prefix.length >= ids.shape[0]:
+                raise ValueError(
+                    f"prompt ({ids.shape[0]}) must extend past the prefix "
+                    f"({prefix.length}) by at least one token"
+                )
+            if not np.array_equal(ids[: prefix.length], prefix.input_ids):
+                raise ValueError("prompt does not start with the given prefix's tokens")
+            if prefix.has_image and px is not None:
+                raise ValueError(
+                    "the prefix already carries the image — submit with pixel_values=None"
+                )
+        elif px is None:
+            prefix = self._match_prefix(ids)
         rid = self._next_id
         self._next_id += 1
-        req = _Request(rid, ids, px, max_new_tokens)
+        req = _Request(rid, ids, px, max_new_tokens, prefix=prefix)
         self._queue.append(req)
         self._results[rid] = req
         return rid
@@ -526,7 +674,15 @@ class ContinuousBatchingServer:
         else:
             for slot in range(self.slots):
                 if self._by_slot[slot] is None and self._queue:
-                    self._admit(self._queue.popleft(), slot)
+                    req = self._queue.popleft()
+                    if req.prefix is None:
+                        self._admit(req, slot)
+                    else:
+                        # prefix-cached admission rides the scratch machinery
+                        # (suffix in one chunk); completes within this step
+                        self._start_admission(req, slot)
+                        while self._inflight is not None:
+                            self._advance_admission()
 
         active_rows = [r is not None for r in self._by_slot]
         if any(active_rows):
@@ -576,6 +732,15 @@ class ContinuousBatchingServer:
             "submitted": self._next_id,
             "finished": sum(r.finished for r in self._results.values()),
             "tokens_generated": sum(len(r.tokens) for r in self._results.values()),
+            **(
+                {
+                    "prefixes": len(self._prefixes),
+                    "prefix_hits": sum(p.hits for p in self._prefixes.values()),
+                    "prefix_tokens_cached": sum(p.length for p in self._prefixes.values()),
+                }
+                if self._prefixes
+                else {}
+            ),
             **(
                 {
                     "admitting": self._inflight["req"].rid,

@@ -111,3 +111,51 @@ def test_bad_request(live):
     cfg, params, port = live
     status, out = _post(port, "/generate", {"max_new_tokens": 4})
     assert status == 400 and "error" in out
+
+
+def _delete(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("DELETE", path)
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def test_prefix_caching_over_http(live):
+    cfg, params, port = live
+    prefix = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(7), (8,), 0, cfg.vocab_size - 10)
+    )
+    suffix = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(8), (5,), 0, cfg.vocab_size - 10)
+    )
+    prompt = np.concatenate([prefix, suffix])
+    eng = InferenceEngine(params, cfg, max_cache_length=64, prompt_buckets=None)
+    want = np.asarray(
+        eng.generate(prompt[None], None, max_new_tokens=5, temperature=0.0,
+                     eos_token_id=-1).tokens
+    )[0]
+
+    status, out = _post(port, "/prefix", {"input_ids": prefix.tolist()})
+    assert status == 200
+    pid = out["prefix_id"]
+
+    # auto-matched (no prefix_id) and pinned both hit the cache
+    status, res = _post(port, "/generate", {
+        "input_ids": prompt.tolist(), "max_new_tokens": 5,
+    })
+    assert status == 200 and res["finished"]
+    np.testing.assert_array_equal(np.asarray(res["tokens"]), want)
+
+    status, res = _post(port, "/generate", {
+        "input_ids": prompt.tolist(), "max_new_tokens": 5, "prefix_id": pid,
+    })
+    assert status == 200
+    np.testing.assert_array_equal(np.asarray(res["tokens"]), want)
+
+    status, st = _get(port, "/stats")
+    assert status == 200 and st["prefix_hits"] == 2
+
+    status, _ = _delete(port, f"/prefix/{pid}")
+    assert status == 200
+    status, st = _get(port, "/stats")
+    assert "prefix_hits" not in st
