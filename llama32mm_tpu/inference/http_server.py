@@ -16,7 +16,10 @@ module is that process:
 - ``POST /prefix`` — register a shared prompt prefix (prefix caching): body
   ``{"input_ids": [...], "pixel_values"?}`` → ``{"prefix_id"}``; subsequent
   text requests auto-match it (or pin with ``"prefix_id"`` in
-  ``/generate``/``/submit``); ``DELETE /prefix/<pid>`` releases it.
+  ``/generate``/``/submit``); ``DELETE /prefix/<pid>`` releases it;
+- ``POST /generate_stream`` — server-sent events: tokens stream as they
+  decode (``data: {"tokens": [...]}`` deltas, final
+  ``data: {"finished": true, ...}`` event).
 
 All scheduler access is serialized by one lock (the compiled programs do the
 heavy lifting on device; the lock is held for host-side bookkeeping plus one
@@ -84,6 +87,13 @@ class ServingFrontend:
         with self._lock:
             return self.srv.register_prefix(input_ids, pixel_values)
 
+    def tokens_so_far(self, rid: int) -> tuple[list, bool]:
+        with self._lock:
+            return (
+                [int(t) for t in self.srv.tokens_so_far(rid)],
+                self.srv.is_finished(rid),
+            )
+
     def drop_prefix(self, prefix_id: int) -> None:
         with self._lock:
             self.srv.drop_prefix(prefix_id)
@@ -130,6 +140,30 @@ def make_handler(frontend: ServingFrontend):
             n = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(n) or b"{}")
 
+        def _sse(self, rid: int):
+            """Stream a request's tokens as server-sent events: one
+            ``data: {"request_id", "tokens": [...newly decoded...]}`` event
+            per scheduler sync, then a final event with ``finished: true``
+            and the decoded text (if a tokenizer is attached)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            sent = 0
+            while True:
+                done = frontend.wait(rid, timeout=0.02)
+                toks, fin = frontend.tokens_so_far(rid)
+                if len(toks) > sent:
+                    ev = {"request_id": rid, "tokens": toks[sent:]}
+                    self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                    self.wfile.flush()
+                    sent = len(toks)
+                if fin or done:
+                    final = frontend.result(rid)
+                    self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
+                    self.wfile.flush()
+                    return
+
         def do_GET(self):
             try:
                 if self.path == "/stats":
@@ -162,6 +196,9 @@ def make_handler(frontend: ServingFrontend):
                     rid = frontend.submit(ids, px, mnt, prefix_id=pfx)
                     frontend.wait(rid)
                     return self._json(200, frontend.result(rid))
+                if self.path == "/generate_stream":
+                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx)
+                    return self._sse(rid)
                 return self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})

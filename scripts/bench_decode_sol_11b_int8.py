@@ -40,10 +40,15 @@ def main():
     k = jax.random.PRNGKey(0)
 
     def q8(key, shape):
-        w = jax.random.randint(jax.random.fold_in(k, key), shape, -127, 128, jnp.int32)
+        # int8 iota (fused, no wide intermediate — random bits would stage a
+        # 4x uint32 buffer and OOM the 16 GB chip); values are irrelevant to
+        # a bandwidth probe
+        w = jax.jit(
+            lambda: jax.lax.broadcasted_iota(jnp.int8, shape, len(shape) - 1)
+        )()
         scale = jnp.full(shape[:1] + shape[-1:] if len(shape) == 3 else shape[-1:],
                          1e-2, jnp.float32)
-        return w.astype(jnp.int8), scale
+        return w, scale
 
     weights = {
         name: q8(i, (L, h_in, h_out))
@@ -55,12 +60,9 @@ def main():
     }
     head_q, head_s = q8(7, (h, V))
     head_s = jnp.full((V,), 1e-2, jnp.float32)
-    kcache = jax.random.randint(
-        jax.random.fold_in(k, 8), (L, 1, nkv, CACHE_LEN, hd), -127, 128, jnp.int32
-    ).astype(jnp.int8)
-    vcache = jax.random.randint(
-        jax.random.fold_in(k, 9), (L, 1, nkv, CACHE_LEN, hd), -127, 128, jnp.int32
-    ).astype(jnp.int8)
+    cache_shape = (L, 1, nkv, CACHE_LEN, hd)
+    kcache = jax.jit(lambda: jax.lax.broadcasted_iota(jnp.int8, cache_shape, 3))()
+    vcache = jax.jit(lambda: jax.lax.broadcasted_iota(jnp.int8, cache_shape, 4))()
     kscale = jnp.full((L, 1, nkv, CACHE_LEN), 1e-2, jnp.float32)
     vscale = jnp.full((L, 1, nkv, CACHE_LEN), 1e-2, jnp.float32)
 

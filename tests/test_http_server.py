@@ -159,3 +159,43 @@ def test_prefix_caching_over_http(live):
     assert status == 200
     status, st = _get(port, "/stats")
     assert "prefix_hits" not in st
+
+
+def test_sse_streaming_generate(live):
+    cfg, params, port = live
+    ids = _ids(cfg, 9, key=6)
+    eng = InferenceEngine(params, cfg, max_cache_length=64, prompt_buckets=None)
+    want = np.asarray(
+        eng.generate(ids[None], None, max_new_tokens=7, temperature=0.0,
+                     eos_token_id=-1).tokens
+    )[0]
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request(
+        "POST", "/generate_stream",
+        json.dumps({"input_ids": ids.tolist(), "max_new_tokens": 7}),
+        {"Content-Type": "application/json"},
+    )
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "text/event-stream"
+
+    streamed, final, events = [], None, 0
+    while True:
+        line = r.readline()
+        if not line:
+            break
+        line = line.decode().strip()
+        if not line.startswith("data: "):
+            continue
+        ev = json.loads(line[len("data: "):])
+        events += 1
+        if ev.get("finished"):
+            final = ev
+            break
+        streamed.extend(ev["tokens"])
+
+    assert final is not None and final["finished"]
+    np.testing.assert_array_equal(np.asarray(final["tokens"]), want)
+    np.testing.assert_array_equal(np.asarray(streamed), want)
+    assert events >= 2  # tokens actually streamed before the final event
