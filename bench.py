@@ -450,6 +450,13 @@ def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
         "m11b_int8_decode_spread": round(spread, 2),
         "m11b_int8_roofline_tokens_per_sec": round(roofline, 2),
         "m11b_int8_vs_roofline": round(tps / roofline, 4),
+        # one-off ceiling measured on THIS dev chip: the 11B int8 decode's
+        # exact access pattern (int8 gemvs convert-into-dot + fp32 scales +
+        # int8 KV dots) stripped of all model overhead measures 72.06 steps/s
+        # = 678 GB/s effective (scripts/bench_decode_sol_11b_int8.py) — the
+        # gap from vs_roofline to 1.0 is int8-gemv stream efficiency.
+        "m11b_int8_sol_steps_per_sec": 72.06,
+        "m11b_int8_vs_sol": round(tps / 72.06, 4),
         "m11b_int8_ttft_p50_ms": round(ttft * 1e3, 1),
         "m11b_config": "llama3.2-11B-Vision shapes, int8 weights + int8 KV, 1 chip",
     }

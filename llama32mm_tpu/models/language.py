@@ -365,6 +365,7 @@ def llama_forward(
     dropout_rng: Optional[jax.Array] = None,
     lora_dropout: float = 0.0,
     impl: str = "auto",
+    remat: bool = False,
 ) -> LlamaOutput:
     """``Llama3Model.forward`` (reference Model/model.py:328-346).
 
@@ -372,6 +373,13 @@ def llama_forward(
     with a causal term) or a prebuilt 4D additive mask ``[B, 1, Tq, Tk]``
     (pass-through) — with a KV cache, callers should pass the 4D cache-aware
     mask built by the inference engine.
+
+    ``remat=True`` wraps the scanned layer body in ``jax.checkpoint``
+    (scan-over-remat): backward recomputes each layer's internals instead of
+    saving them, dropping training activation memory from O(layers ·
+    intermediates) to O(layers · hidden) at ~1/3 extra FLOPs — the enabler
+    for long-context fine-tuning next to large weights (SURVEY §5
+    'Long-context'; composes with the flash kernel and the ``sp`` mesh axis).
     """
     if input_embeds is not None:
         h = input_embeds
@@ -465,6 +473,11 @@ def llama_forward(
         )
         return (out, k_all, v_all, ks_all, vs_all), None
 
+    if remat:
+        # prevent_cse=False: safe under scan (the standard pattern) and keeps
+        # XLA free to de-duplicate the recompute
+        body = jax.checkpoint(body, prevent_cse=False)
+
     carry = (
         h,
         kv_cache.k if has_cache else None,
@@ -513,6 +526,7 @@ def causal_lm_forward(
     lora=None,
     dropout_rng=None,
     impl: str = "auto",
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """``Llama3ForCausalLM.forward`` (Model/model.py:356-361): returns
     ``(logits, kv_cache)``."""
@@ -527,6 +541,7 @@ def causal_lm_forward(
         lora=None if lora is None else lora,
         dropout_rng=dropout_rng,
         impl=impl,
+        remat=remat,
     )
     head_lora = None if lora is None else lora.get("lm_head")
     logits = lm_head_apply(params, config, out.hidden_states, lora=head_lora, impl=impl)

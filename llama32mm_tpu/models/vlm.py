@@ -132,6 +132,8 @@ def vlm_forward(
     lora_dropout: float = 0.0,
     impl: str = "auto",
     logits_positions: Optional[jax.Array] = None,
+    remat: bool = False,
+    loss_chunk: Optional[int] = None,
 ) -> VLMOutput:
     """Reference ``MllamaForConditionalGeneration.forward`` (``:398-440``).
 
@@ -179,6 +181,7 @@ def vlm_forward(
         dropout_rng=dropout_rng,
         lora_dropout=lora_dropout,
         impl=impl,
+        remat=remat,
     )
     hidden = out.hidden_states
     if logits_positions is not None:
@@ -186,6 +189,21 @@ def vlm_forward(
             raise ValueError("logits_positions is incompatible with labels")
         hidden = jnp.take_along_axis(
             hidden, logits_positions[:, :, None].astype(jnp.int32), axis=1
+        )
+    if loss_chunk is not None:
+        # long-context training: stream positions through lm_head + CE in
+        # chunks — the full [B, T, vocab] logits (GBs at 8k+) never exist.
+        # Head-LoRA applies; head-LoRA *dropout* does not on this path.
+        if labels is None:
+            raise ValueError("loss_chunk requires labels")
+        loss = chunked_shifted_cross_entropy(
+            params["language_model"], tc, hidden, labels, config.ignore_index,
+            chunk=loss_chunk, lora=None if lora is None else lora.get("lm_head"),
+            impl=impl,
+        )
+        return VLMOutput(
+            logits=None, loss=loss, hidden_states=out.hidden_states,
+            kv_cache=out.kv_cache,
         )
     head_lora = None if lora is None else lora.get("lm_head")
     head_rng = (
@@ -205,6 +223,58 @@ def vlm_forward(
     return VLMOutput(
         logits=logits, loss=loss, hidden_states=out.hidden_states, kv_cache=out.kv_cache
     )
+
+
+def chunked_shifted_cross_entropy(
+    lm_params: dict,
+    config,
+    hidden: jax.Array,  # [B, T, H]
+    labels: jax.Array,  # [B, T]
+    ignore_index: int,
+    chunk: int = 1024,
+    lora=None,
+    impl: str = "auto",
+) -> jax.Array:
+    """``shifted_cross_entropy`` computed WITHOUT materializing the full
+    ``[B, T, V]`` logits: positions stream through lm_head + fp32 log-softmax
+    in chunks under a rematerialized ``lax.scan`` (backward recomputes each
+    chunk's logits from the saved hidden chunk). At 8k × 128256-vocab the
+    full-logits loss needs >4 GB of fp32 softmax buffers fwd AND bwd — this
+    is the piece that makes long-context training fit next to the weights
+    (pairs with ``remat=True`` in ``llama_forward``). Numerics identical to
+    the reference reduction (``Model/model.py:431-438``)."""
+    from llama32mm_tpu.models.language import lm_head_apply
+
+    b, t, h = hidden.shape
+    sh = hidden[:, :-1]
+    st = labels[:, 1:]
+    n = t - 1
+    chunk = int(min(chunk, n))
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        sh = jnp.pad(sh, ((0, 0), (0, n_pad - n), (0, 0)))
+        st = jnp.pad(st, ((0, 0), (0, n_pad - n)), constant_values=ignore_index)
+    # [n_chunks, B, chunk, ...] scan layout
+    sh = sh.reshape(b, n_pad // chunk, chunk, h).swapaxes(0, 1)
+    st = st.reshape(b, n_pad // chunk, chunk).swapaxes(0, 1)
+
+    def body(carry, xs):
+        nll_sum, cnt = carry
+        h_c, t_c = xs
+        logits = lm_head_apply(lm_params, config, h_c, lora=lora, impl=impl)
+        valid = t_c != ignore_index
+        safe = jnp.where(valid, t_c, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        return (nll_sum + jnp.sum(nll), cnt + jnp.sum(valid)), None
+
+    (nll_sum, cnt), _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False),
+        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (sh, st),
+    )
+    return nll_sum / jnp.maximum(cnt, 1)
 
 
 def shifted_cross_entropy(logits: jax.Array, labels: jax.Array, ignore_index: int) -> jax.Array:

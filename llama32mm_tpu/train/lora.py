@@ -188,6 +188,8 @@ def make_lora_train_step(
     learning_rate: float = 1e-4,
     lora_dropout: float = 0.0,
     impl: str = "auto",
+    remat: bool = False,
+    loss_chunk=None,
 ):
     """Build (init_state, train_step). ``train_step(params, state, batch, rng)``
     differentiates only the adapters; base params are frozen (reference
@@ -211,6 +213,8 @@ def make_lora_train_step(
             dropout_rng=rng if lora_dropout > 0.0 else None,
             lora_dropout=lora_dropout,
             impl=impl,
+            remat=remat,
+            loss_chunk=loss_chunk,
         )
         return out.loss
 

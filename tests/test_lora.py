@@ -213,3 +213,57 @@ def test_train_state_save_resume(tiny, batch, tmp_path):
     lb = jax.tree.leaves(state_b.lora)
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_remat_train_step_matches_no_remat(tiny, batch, impl):
+    """Scan-over-remat (jax.checkpoint on the layer body) must not change the
+    math: loss and updated adapters equal with and without rematerialization,
+    on both attention paths."""
+    from llama32mm_tpu.train.lora import make_lora_train_step
+
+    cfg, params = tiny
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg.text_config, rank=4)
+
+    init_state, step = make_lora_train_step(cfg, learning_rate=1e-3, impl=impl)
+    _, step_r = make_lora_train_step(cfg, learning_rate=1e-3, impl=impl, remat=True)
+    state = init_state(lora)
+    s0, l0 = jax.jit(step)(params, state, batch, jax.random.PRNGKey(4))
+    s1, l1 = jax.jit(step_r)(params, state, batch, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6, err_msg=impl)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, err_msg=impl
+        ),
+        s1.lora,
+        s0.lora,
+    )
+
+
+def test_chunked_ce_loss_and_grads_match_full_logits(tiny, batch):
+    """loss_chunk streams positions through lm_head+CE under a remat scan —
+    the full [B, T, vocab] logits never exist; loss and updated adapters must
+    match the full-logits path (incl. the lm_head adapter's gradient)."""
+    from llama32mm_tpu.models.vlm import vlm_forward
+    from llama32mm_tpu.train.lora import make_lora_train_step
+
+    cfg, params = tiny
+    out_full = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                           pixel_values=batch["pixel_values"], labels=batch["labels"])
+    out_chunk = vlm_forward(params, cfg, input_ids=batch["input_ids"],
+                            pixel_values=batch["pixel_values"],
+                            labels=batch["labels"], loss_chunk=5)
+    assert out_chunk.logits is None
+    np.testing.assert_allclose(float(out_chunk.loss), float(out_full.loss), rtol=1e-6)
+
+    lora = init_lora_params(jax.random.PRNGKey(3), cfg.text_config, rank=4)
+    init_state, step = make_lora_train_step(cfg, learning_rate=1e-3)
+    _, step_c = make_lora_train_step(cfg, learning_rate=1e-3, remat=True, loss_chunk=5)
+    state = init_state(lora)
+    s0, l0 = jax.jit(step)(params, state, batch, jax.random.PRNGKey(4))
+    s1, l1 = jax.jit(step_c)(params, state, batch, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6),
+        s1.lora, s0.lora,
+    )
