@@ -24,7 +24,12 @@ finish. This module adds that as a TPU-native scheduler:
   history) is computed once and held in a one-slot cache; admission copies it
   into the slot and prefills only the suffix at ``q_offset = prefix_len`` —
   same decoder chunk programs, token-identical outputs, prefill cost
-  proportional to the suffix.
+  proportional to the suffix;
+- **speculative decoding** (``spec_lookup=K``, greedy): every live slot
+  drafts K tokens from its own history (prompt-lookup bigram match) and the
+  pool verifies them in ONE (K+1)-token forward — decode streams the same
+  weights regardless of query count, so accepted drafts are nearly free for
+  every slot at once; greedy-exact per request.
 
 Weights stream from HBM once per decode step regardless of how many slots are
 live, so aggregate tokens/s scales with occupancy (the batch-8 bench point:
@@ -59,6 +64,10 @@ class BatchState(NamedTuple):
     kv_valid: jax.Array  # [B, S] int32: attendable cache positions per slot
     rope_pos: jax.Array  # [B] int32: next RoPE position (true tokens so far)
     last_token: jax.Array  # [B] int32: last sampled token (fed next step)
+    seq: Optional[jax.Array] = None  # [B, S] int32 true token history per
+    # slot (prompt + committed, densely at their true positions; invariant:
+    # seq[b, rope_pos[b]] = last_token[b]) — maintained only when
+    # spec_lookup > 0, it feeds the bigram draft lookup
 
 
 class _Request:
@@ -120,6 +129,7 @@ class ContinuousBatchingServer:
         eos_token_id: int = -1,
         steps_per_sync: int = 8,
         prefill_chunk: Optional[int] = None,
+        spec_lookup: int = 0,
         rng: Optional[jax.Array] = None,
     ):
         """``prefill_chunk=C`` enables **chunked admission** (Sarathi-style):
@@ -134,6 +144,13 @@ class ContinuousBatchingServer:
             raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
         if prefill_chunk is not None and prefill_chunk < 1:
             raise ValueError(f"prefill_chunk must be >= 1, got {prefill_chunk}")
+        if spec_lookup < 0:
+            raise ValueError(f"spec_lookup must be >= 0, got {spec_lookup}")
+        if spec_lookup > 0 and temperature != 0.0:
+            raise ValueError(
+                "spec_lookup serving is greedy-only (temperature=0.0); committed "
+                "tokens are the model's own argmax so greedy equality holds"
+            )
         if prompt_buckets is not None and prompt_buckets != "auto":
             prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         self.params = params
@@ -146,6 +163,7 @@ class ContinuousBatchingServer:
         self.sampler = (temperature, top_p, top_k)
         self.eos_token_id = eos_token_id
         self.steps_per_sync = steps_per_sync
+        self.spec_lookup = int(spec_lookup)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._donate = jax.default_backend() == "tpu"
 
@@ -158,6 +176,11 @@ class ContinuousBatchingServer:
             kv_valid=jnp.zeros((slots, self.max_cache_length), jnp.int32),
             rope_pos=jnp.zeros((slots,), jnp.int32),
             last_token=jnp.zeros((slots,), jnp.int32),
+            seq=(
+                jnp.zeros((slots, self.max_cache_length), jnp.int32)
+                if self.spec_lookup > 0
+                else None
+            ),
         )
 
         self._queue: deque[_Request] = deque()
@@ -175,6 +198,8 @@ class ContinuousBatchingServer:
         self._prefixes: dict[int, _Prefix] = {}
         self._next_prefix_id = 0
         self._copy_jit = None  # deep-copies a prefix cache (admissions donate)
+        self._spec_steps = 0  # live-slot verify steps (spec mode)
+        self._spec_tokens = 0  # tokens those steps committed
 
     # -- compiled programs --------------------------------------------------
 
@@ -217,6 +242,11 @@ class ContinuousBatchingServer:
                 pad_mask.astype(jnp.int32),
                 ((0, 0), (0, self.max_cache_length - bucket)),
             )
+            seq = state.seq
+            if seq is not None:
+                seq_row = jnp.pad(ids, ((0, 0), (0, self.max_cache_length - bucket)))
+                seq_row = seq_row.at[0, true_len[0]].set(first)
+                seq = jax.lax.dynamic_update_slice(seq, seq_row, (slot, 0))
             return BatchState(
                 cache=KVCache(
                     k=k, v=v, pos=c.pos.at[slot].set(bucket), k_scale=ks, v_scale=vs
@@ -224,6 +254,7 @@ class ContinuousBatchingServer:
                 kv_valid=jax.lax.dynamic_update_slice(state.kv_valid, row_valid, (slot, 0)),
                 rope_pos=state.rope_pos.at[slot].set(true_len[0]),
                 last_token=state.last_token.at[slot].set(first),
+                seq=seq,
             )
 
         return jax.jit(prefill_fn, donate_argnums=(1,) if self._donate else ())
@@ -280,6 +311,108 @@ class ContinuousBatchingServer:
 
             st, toks = jax.lax.scan(one, state, jax.random.split(rng, n_steps))
             return st, toks.T  # [B, n_steps]
+
+        return jax.jit(decode_fn, donate_argnums=(1,) if self._donate else ())
+
+    def _make_decode_spec(self, n_steps: int):
+        """Batched prompt-lookup speculative decode (greedy): every live slot
+        drafts ``K = spec_lookup`` tokens from its own token history (most
+        recent earlier occurrence of its trailing bigram) and verifies them in
+        ONE ``(K+1)``-token forward shared by all slots. A decode step streams
+        the same weights regardless of query count, so accepted drafts are
+        nearly free for the whole pool. Greedy-exact per slot (the engine's
+        ``spec_lookup`` semantics, ``inference/engine.py::_make_generate_spec``,
+        generalized to per-slot cache offsets). Returns
+        ``(state, tokens [B, n_steps, K+1], counts [B, n_steps])``."""
+        cfg = self.config
+        tc = cfg.text_config
+        impl = self.impl
+        S = self.max_cache_length
+        K = self.spec_lookup
+        dt = tc.jnp_dtype
+        eos = self.eos_token_id
+
+        def decode_fn(params, state: BatchState, active):
+            B = state.rope_pos.shape[0]
+            karange = jnp.arange(S)[None, :]  # [1, S]
+            jr = jnp.arange(K + 1)
+
+            def one(st: BatchState, _):
+                seq = st.seq
+                rp = st.rope_pos  # seq index of the pending token
+                last_tok = st.last_token  # == seq[b, rp[b]]
+
+                # --- draft K per slot: trailing bigram lookup over seq ---
+                gram_a = jnp.take_along_axis(
+                    seq, jnp.maximum(rp - 1, 0)[:, None], axis=1
+                )[:, 0]
+                m = (seq == gram_a[:, None]) & (jnp.roll(seq, -1, axis=1) == last_tok[:, None])
+                m = m & ((karange + 1) < rp[:, None])  # strictly before current bigram
+                best = jnp.max(jnp.where(m, karange, -1), axis=1)  # [B]
+                start = jnp.clip(best + 2, 0, S - K)
+                drafts = jnp.take_along_axis(
+                    seq, start[:, None] + jnp.arange(K)[None, :], axis=1
+                )  # [B, K]
+
+                # --- one (K+1)-token verify for the whole pool ---
+                wp = jnp.clip(st.cache.pos, 0, S - 1 - K)  # [B]
+                feed = jnp.concatenate([last_tok[:, None], drafts], axis=1)  # [B, K+1]
+                # fed token j lands at wp+j and may attend committed slots or
+                # new slots wp..wp+j (causal within the chunk)
+                new_ok = (karange[:, None, :] >= wp[:, None, None]) & (
+                    karange[:, None, :] <= (wp[:, None, None] + jr[None, :, None])
+                )  # [B, K+1, S]
+                attend = (st.kv_valid != 0)[:, None, :] | new_ok
+                mask4 = jnp.where(
+                    attend[:, None], jnp.asarray(0.0, dt), jnp.finfo(dt).min
+                )  # [B, 1, K+1, S]
+                pos = rp[:, None] + jr[None, :]
+                out = vlm_forward(
+                    params, cfg, input_ids=feed, attention_mask=mask4,
+                    position_ids=pos, kv_cache=st.cache._replace(pos=wp),
+                    impl=impl,
+                )
+                nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)  # [B, K+1]
+
+                # --- per-slot commit: longest accepted prefix + bonus ---
+                acc = jnp.cumprod((drafts == nxt[:, :K]).astype(jnp.int32), axis=1)
+                n_commit = jnp.sum(acc, axis=1) + 1  # [B] in [1, K+1]
+                eos_hit = (jr[None, :] < n_commit[:, None]) & (nxt == eos)
+                first_eos = jnp.min(jnp.where(eos_hit, jr[None, :], K + 1), axis=1)
+                n_commit = jnp.minimum(n_commit, first_eos + 1)
+                n_commit = jnp.where(active, n_commit, 0)
+
+                # committed KV slots: wp .. wp+n_commit-1
+                commit_bits = (
+                    (karange >= wp[:, None]) & (karange < (wp + n_commit)[:, None])
+                ).astype(jnp.int32)
+                # seq[rp+1+j] = nxt[j] for j < n_commit
+                off = karange - (rp + 1)[:, None]
+                sel = (off >= 0) & (off < n_commit[:, None])
+                src = jnp.take_along_axis(
+                    nxt, jnp.clip(off, 0, K), axis=1
+                )  # gather nxt per position
+                new_seq = jnp.where(sel, src, seq)
+                new_last = jnp.take_along_axis(
+                    nxt, jnp.maximum(n_commit - 1, 0)[:, None], axis=1
+                )[:, 0]
+
+                st2 = BatchState(
+                    cache=out.kv_cache._replace(
+                        pos=jnp.where(active, wp + n_commit, st.cache.pos)
+                    ),
+                    kv_valid=jnp.where(
+                        active[:, None], st.kv_valid | commit_bits, st.kv_valid
+                    ),
+                    rope_pos=jnp.where(active, rp + n_commit, rp),
+                    last_token=jnp.where(active, new_last, last_tok),
+                    seq=jnp.where(active[:, None], new_seq, seq),
+                )
+                return st2, (nxt, n_commit)
+
+            st, (toks, counts) = jax.lax.scan(one, state, None, length=n_steps)
+            # scan stacks on axis 0: [n_steps, B, ...] → [B, n_steps, ...]
+            return st, toks.swapaxes(0, 1), counts.swapaxes(0, 1)
 
         return jax.jit(decode_fn, donate_argnums=(1,) if self._donate else ())
 
@@ -352,7 +485,7 @@ class ContinuousBatchingServer:
         temperature, top_p, top_k = self.sampler
 
         def splice_fn(params, state: BatchState, scratch: KVCache, logits,
-                      pad_row, filled, true_len, slot, rng):
+                      pad_row, ids_row, filled, true_len, slot, rng):
             first = select_next_token(logits, rng, temperature, top_p, top_k)
             first = first[0].astype(jnp.int32)
             c = state.cache
@@ -362,6 +495,10 @@ class ContinuousBatchingServer:
             if c.k_scale is not None:
                 ks = jax.lax.dynamic_update_slice(c.k_scale, scratch.k_scale, (0, slot, 0, 0))
                 vs = jax.lax.dynamic_update_slice(c.v_scale, scratch.v_scale, (0, slot, 0, 0))
+            seq = state.seq
+            if seq is not None:
+                seq_row = ids_row.at[0, true_len].set(first)
+                seq = jax.lax.dynamic_update_slice(seq, seq_row, (slot, 0))
             return BatchState(
                 cache=KVCache(
                     k=k, v=v, pos=c.pos.at[slot].set(filled), k_scale=ks, v_scale=vs
@@ -371,6 +508,7 @@ class ContinuousBatchingServer:
                 ),
                 rope_pos=state.rope_pos.at[slot].set(true_len),
                 last_token=state.last_token.at[slot].set(first),
+                seq=seq,
             )
 
         return jax.jit(splice_fn, donate_argnums=(1,) if self._donate else ())
@@ -393,7 +531,7 @@ class ContinuousBatchingServer:
         else:
             C = n_suffix
         bucket = base + -(-n_suffix // C) * C
-        room = self.max_cache_length - req.max_new_tokens
+        room = self.max_cache_length - req.max_new_tokens - self.spec_lookup
         if bucket > room:
             if s > room:
                 raise ValueError(
@@ -429,9 +567,12 @@ class ContinuousBatchingServer:
             req.prefix.hits += 1
         pad_row = np.zeros((1, self.max_cache_length), np.int32)
         pad_row[0, :s] = 1
+        ids_row = np.zeros((1, self.max_cache_length), np.int32)
+        ids_row[0, :s] = req.input_ids
         self._inflight = {
             "req": req, "slot": slot, "embeds": embeds,
-            "pad_row": jnp.asarray(pad_row), "true_len": s, "off": base,
+            "pad_row": jnp.asarray(pad_row), "ids_row": jnp.asarray(ids_row),
+            "true_len": s, "off": base,
             "base": base, "chunk": C, "bucket": bucket, "scratch": scratch,
             "logits": None,
         }
@@ -468,7 +609,7 @@ class ContinuousBatchingServer:
             req, slot = fl["req"], fl["slot"]
             self.state = self._splice_jit(
                 self.params, self.state, fl["scratch"], fl["logits"],
-                fl["pad_row"], jnp.asarray(bucket, jnp.int32),
+                fl["pad_row"], fl["ids_row"], jnp.asarray(bucket, jnp.int32),
                 jnp.asarray(fl["true_len"], jnp.int32),
                 jnp.asarray(slot, jnp.int32), self._next_rng(),
             )
@@ -583,10 +724,13 @@ class ContinuousBatchingServer:
             )
         # Reject oversized requests NOW: failing later at admission would pop
         # the request off the queue mid-step and strand it unfinished.
-        if ids.shape[0] + max_new_tokens > self.max_cache_length:
+        # spec_lookup needs K extra cache slots of headroom: the final verify
+        # writes K draft entries past the last committed token.
+        if ids.shape[0] + max_new_tokens + self.spec_lookup > self.max_cache_length:
+            extra = f" + spec headroom ({self.spec_lookup})" if self.spec_lookup else ""
             raise ValueError(
-                f"prompt ({ids.shape[0]}) + max_new_tokens ({max_new_tokens}) "
-                f"exceeds cache capacity {self.max_cache_length}"
+                f"prompt ({ids.shape[0]}) + max_new_tokens ({max_new_tokens})"
+                f"{extra} exceeds cache capacity {self.max_cache_length}"
             )
         px = None if pixel_values is None else np.asarray(pixel_values)
         if px is not None and px.ndim == 4:
@@ -616,7 +760,7 @@ class ContinuousBatchingServer:
 
     def _admit(self, req: _Request, slot: int) -> None:
         s = req.prompt_len
-        bucket = self._bucketed_len(s, req.max_new_tokens)
+        bucket = self._bucketed_len(s, req.max_new_tokens + self.spec_lookup)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :s] = req.input_ids
         pad = np.zeros((1, bucket), np.int32)
@@ -691,16 +835,35 @@ class ContinuousBatchingServer:
             remaining = min(
                 r.max_new_tokens - len(r.tokens) for r in self._by_slot if r is not None
             )
-            n = max(1, min(self.steps_per_sync, remaining))
-            if n not in self._decode_jit:
-                self._decode_jit[n] = self._make_decode(n)
-            self.state, toks = self._decode_jit[n](
-                self.params, self.state, jnp.asarray(active_rows), self._next_rng()
-            )
-            toks = np.asarray(toks)
-            for slot, req in enumerate(self._by_slot):
-                if req is not None:
-                    self._emit(req, [int(t) for t in toks[slot]])
+            if self.spec_lookup > 0:
+                # each spec step commits 1..K+1 tokens per slot
+                n = max(1, min(self.steps_per_sync,
+                               -(-remaining // (self.spec_lookup + 1))))
+                if ("spec", n) not in self._decode_jit:
+                    self._decode_jit[("spec", n)] = self._make_decode_spec(n)
+                self.state, toks, counts = self._decode_jit[("spec", n)](
+                    self.params, self.state, jnp.asarray(active_rows)
+                )
+                toks, counts = np.asarray(toks), np.asarray(counts)
+                for slot, req in enumerate(self._by_slot):
+                    if req is not None:
+                        out = []
+                        for i in range(toks.shape[1]):
+                            out.extend(int(t) for t in toks[slot, i, : counts[slot, i]])
+                        self._spec_steps += toks.shape[1]
+                        self._spec_tokens += len(out)
+                        self._emit(req, out)
+            else:
+                n = max(1, min(self.steps_per_sync, remaining))
+                if n not in self._decode_jit:
+                    self._decode_jit[n] = self._make_decode(n)
+                self.state, toks = self._decode_jit[n](
+                    self.params, self.state, jnp.asarray(active_rows), self._next_rng()
+                )
+                toks = np.asarray(toks)
+                for slot, req in enumerate(self._by_slot):
+                    if req is not None:
+                        self._emit(req, [int(t) for t in toks[slot]])
 
         after = {r.rid for r in self._results.values() if r.finished}
         return sorted(after - before)
@@ -739,6 +902,16 @@ class ContinuousBatchingServer:
                     "prefix_tokens_cached": sum(p.length for p in self._prefixes.values()),
                 }
                 if self._prefixes
+                else {}
+            ),
+            **(
+                {
+                    "spec_lookup": self.spec_lookup,
+                    "spec_tokens_per_step": round(
+                        self._spec_tokens / max(self._spec_steps, 1), 3
+                    ),
+                }
+                if self.spec_lookup
                 else {}
             ),
             **(

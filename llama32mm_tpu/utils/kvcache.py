@@ -124,16 +124,23 @@ def update_stacked(
     (``models/language.py::_block_forward``).
 
     ``pos`` may be a ``[B]`` vector (continuous-batching decode: every slot
-    sits at its own fill level); that path requires ``T == 1`` and lowers to
-    one XLA scatter per layer instead of a contiguous slice write.
+    sits at its own fill level); row ``b``'s ``T`` entries land at
+    ``pos[b] .. pos[b]+T-1`` via one XLA scatter per layer instead of a
+    contiguous slice write (T > 1 is the batched speculative-verify path).
     """
     pos = jnp.asarray(pos)
     if pos.ndim == 1:
-        if k_new.shape[2] != 1:
-            raise ValueError("per-row cache offsets require single-token updates")
-        b_idx = jnp.arange(k_new.shape[0])
-        k_all = k_all.at[layer_idx, b_idx, :, pos, :].set(k_new[:, :, 0, :].astype(k_all.dtype))
-        v_all = v_all.at[layer_idx, b_idx, :, pos, :].set(v_new[:, :, 0, :].astype(v_all.dtype))
+        b, _, t, _ = k_new.shape
+        b_idx = jnp.arange(b)[:, None]  # [B, 1]
+        t_idx = pos[:, None] + jnp.arange(t)[None, :]  # [B, T]
+        # advanced indices separated by ':' move to the front: target slice is
+        # [B, T, n_kv, hd] — transpose the update to match
+        k_all = k_all.at[layer_idx, b_idx, :, t_idx, :].set(
+            k_new.astype(k_all.dtype).transpose(0, 2, 1, 3)
+        )
+        v_all = v_all.at[layer_idx, b_idx, :, t_idx, :].set(
+            v_new.astype(v_all.dtype).transpose(0, 2, 1, 3)
+        )
         return k_all, v_all
     k_all = jax.lax.dynamic_update_slice(
         k_all, k_new[None].astype(k_all.dtype), (layer_idx, 0, 0, pos, 0)
@@ -153,8 +160,8 @@ def update_stacked_scales(
     """int8-KV scale write mirroring :func:`update_stacked`."""
     pos = jnp.asarray(pos)
     if pos.ndim == 1:
-        if s_new.shape[2] != 1:
-            raise ValueError("per-row cache offsets require single-token updates")
-        b_idx = jnp.arange(s_new.shape[0])
-        return s_all.at[layer_idx, b_idx, :, pos].set(s_new[:, :, 0])
+        b, _, t = s_new.shape
+        b_idx = jnp.arange(b)[:, None]
+        t_idx = pos[:, None] + jnp.arange(t)[None, :]
+        return s_all.at[layer_idx, b_idx, :, t_idx].set(s_new.transpose(0, 2, 1))
     return jax.lax.dynamic_update_slice(s_all, s_new[None], (layer_idx, 0, 0, pos))
