@@ -22,25 +22,28 @@ from llama32mm_tpu.models.vlm import init_vlm_params
 from llama32mm_tpu.train.lora import init_lora_params, make_lora_train_step
 
 
-def peak_mb():
-    st = jax.local_devices()[0].memory_stats() or {}
-    return st.get("peak_bytes_in_use", 0) / 1e6
-
-
 def run(cfg, params, lora, batch, **kw):
     init_state, step = make_lora_train_step(cfg, learning_rate=1e-3, **kw)
     state = init_state(lora)
     jit_step = jax.jit(step)
+    # compile-time memory analysis: XLA's own temp-buffer requirement is the
+    # activation-memory number remat changes (device memory_stats() hangs on
+    # the tunneled backend, and block_until_ready is a no-op there — force
+    # completion via the host transfer of the loss instead)
+    compiled = jit_step.lower(params, state, batch, jax.random.PRNGKey(4)).compile()
+    ma = compiled.memory_analysis()
+    temp_mb = getattr(ma, "temp_size_in_bytes", 0) / 1e6
+    print(f"  XLA temp buffers: {temp_mb:.0f} MB", flush=True)
     t0 = time.perf_counter()
-    out = jit_step(params, state, batch, jax.random.PRNGKey(4))
-    jax.block_until_ready(out)
-    print(f"  compile+first step: {time.perf_counter() - t0:.0f} s", flush=True)
+    loss = float(jit_step(params, state, batch, jax.random.PRNGKey(4))[1])
+    print(f"  first step (incl. transfer): {time.perf_counter() - t0:.1f} s", flush=True)
     ts = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(jit_step(params, state, batch, jax.random.PRNGKey(5)))
+        float(jit_step(params, state, batch, jax.random.PRNGKey(5))[1])
         ts.append(time.perf_counter() - t0)
-    return float(out[1]), float(np.median(ts)), peak_mb()
+        print(f"  rep {i}: {ts[-1]:.2f} s", flush=True)
+    return loss, float(np.median(ts)), temp_mb
 
 
 def main():
@@ -60,10 +63,10 @@ def main():
     batch = {"input_ids": ids, "labels": ids}
 
     try:
-        loss, t, peak = run(cfg, params, lora, batch, **kw)
+        loss, t, temp_mb = run(cfg, params, lora, batch, **kw)
         print(
             f"seq={seq} mode={mode}: step {t*1e3:.0f} ms, loss {loss:.4f}, "
-            f"peak HBM {peak:.0f} MB"
+            f"XLA temp {temp_mb:.0f} MB"
         )
     except Exception as e:
         print(f"seq={seq} mode={mode}: FAILED ({type(e).__name__}: {str(e)[:200]})")
