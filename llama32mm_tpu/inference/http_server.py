@@ -233,6 +233,9 @@ def main(argv=None):
     parser.add_argument("--max-cache-length", type=int, default=2048)
     parser.add_argument("--quantize", choices=["none", "int8", "int4"], default="none")
     parser.add_argument("--prefill-chunk", type=int, default=None)
+    parser.add_argument("--spec-lookup", type=int, default=0,
+                        help="K>0: batched prompt-lookup speculative decoding "
+                        "(greedy-only).")
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args(argv)
 
@@ -252,6 +255,7 @@ def main(argv=None):
         kv_dtype="int8" if args.quantize != "none" else None,
         eos_token_id=tokenizer.eos_token_id if tokenizer.eos_token_id is not None else -1,
         prefill_chunk=args.prefill_chunk,
+        spec_lookup=args.spec_lookup,
     )
     frontend = ServingFrontend(srv, tokenizer)
     httpd = serve_forever(frontend, args.host, args.port)
