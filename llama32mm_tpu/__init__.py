@@ -33,6 +33,9 @@ _LAZY_EXPORTS = {
     "Linear_LORA": "llama32mm_tpu.train.lora",
     "InferenceEngine": "llama32mm_tpu.inference.engine",
     "ContinuousBatchingServer": "llama32mm_tpu.inference.server",
+    "ServingFrontend": "llama32mm_tpu.inference.http_server",
+    "perplexity": "llama32mm_tpu.evaluate",
+    "agreement": "llama32mm_tpu.evaluate",
 }
 
 
