@@ -29,7 +29,11 @@ finish. This module adds that as a TPU-native scheduler:
   drafts K tokens from its own history (prompt-lookup bigram match) and the
   pool verifies them in ONE (K+1)-token forward — decode streams the same
   weights regardless of query count, so accepted drafts are nearly free for
-  every slot at once; greedy-exact per request.
+  every slot at once; greedy-exact per request;
+- **multi-LoRA serving** (``adapter_bank=stack_adapter_bank([...])``): each
+  request picks a LoRA by ``adapter_id`` and every slot decodes with ITS
+  adapter in the same batched forward (per-row A/B einsums over gathered
+  adapters) — multi-tenant fine-tunes share one weight stream.
 
 Weights stream from HBM once per decode step regardless of how many slots are
 live, so aggregate tokens/s scales with occupancy (the batch-8 bench point:
@@ -57,6 +61,13 @@ from llama32mm_tpu.utils.kvcache import KVCache, init_kv_cache
 from llama32mm_tpu.utils.sampling import select_next_token
 
 
+def _single_adapter(bank: dict, aid) -> dict:
+    """One adapter tree selected from a bank by a TRACED index — leaves drop
+    the bank axis, giving the shared-adapter layout ([L, in, r] blocks /
+    [in, r] flat), so one admission executable serves every adapter."""
+    return jax.tree.map(lambda leaf: jnp.take(leaf, aid, axis=0), bank)
+
+
 class BatchState(NamedTuple):
     """Device-side state of the slot pool (one pytree, donated every step)."""
 
@@ -73,10 +84,11 @@ class BatchState(NamedTuple):
 class _Request:
     __slots__ = (
         "rid", "input_ids", "pixel_values", "max_new_tokens", "tokens",
-        "slot", "finished", "prompt_len", "prefix",
+        "slot", "finished", "prompt_len", "prefix", "adapter_id",
     )
 
-    def __init__(self, rid, input_ids, pixel_values, max_new_tokens, prefix=None):
+    def __init__(self, rid, input_ids, pixel_values, max_new_tokens, prefix=None,
+                 adapter_id=0):
         self.rid = rid
         self.input_ids = input_ids  # np [s]
         self.pixel_values = pixel_values  # np [3, H, W] or None
@@ -86,13 +98,15 @@ class _Request:
         self.finished = False
         self.prompt_len = int(input_ids.shape[-1])
         self.prefix: Optional[_Prefix] = prefix
+        self.adapter_id = adapter_id
 
 
 class _Prefix:
     """A registered shared prompt prefix: its KV lives in a one-slot scratch
     cache computed once; admissions that hit it prefill only the suffix."""
 
-    __slots__ = ("pid", "input_ids", "has_image", "auto_match", "cache", "length", "hits")
+    __slots__ = ("pid", "input_ids", "has_image", "auto_match", "cache", "length",
+                 "hits", "adapter_id")
 
     def __init__(self, pid, input_ids, has_image, auto_match, cache, length):
         self.pid = pid
@@ -102,6 +116,7 @@ class _Prefix:
         self.cache = cache  # KVCache [L, 1, nkv, S, hd] — rows [0, length) filled
         self.length = length  # true token length P
         self.hits = 0
+        self.adapter_id = 0  # the adapter its KV was computed with
 
 
 class ContinuousBatchingServer:
@@ -130,6 +145,7 @@ class ContinuousBatchingServer:
         steps_per_sync: int = 8,
         prefill_chunk: Optional[int] = None,
         spec_lookup: int = 0,
+        adapter_bank: Optional[dict] = None,
         rng: Optional[jax.Array] = None,
     ):
         """``prefill_chunk=C`` enables **chunked admission** (Sarathi-style):
@@ -151,6 +167,18 @@ class ContinuousBatchingServer:
                 "spec_lookup serving is greedy-only (temperature=0.0); committed "
                 "tokens are the model's own argmax so greedy equality holds"
             )
+        # Multi-LoRA serving: a stacked bank of adapters
+        # (train/lora.py::stack_adapter_bank); each request picks one by
+        # ``submit(..., adapter_id=i)``. Entry 0 should be the identity
+        # adapter (zero_lora_params) so default requests run the base model.
+        # Decoder + lm_head adapters apply; vision/projector adapters are
+        # request-invariant and not supported per-slot.
+        self.adapter_bank = adapter_bank
+        self.n_adapters = (
+            int(jax.tree.leaves(adapter_bank)[0].shape[0])
+            if adapter_bank is not None
+            else 0
+        )
         if prompt_buckets is not None and prompt_buckets != "auto":
             prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         self.params = params
@@ -185,6 +213,7 @@ class ContinuousBatchingServer:
 
         self._queue: deque[_Request] = deque()
         self._by_slot: list[Optional[_Request]] = [None] * slots
+        self._slot_adapter = [0] * slots  # adapter index per slot (bank mode)
         self._results: dict[int, _Request] = {}
         self._next_id = 0
         self._prefill_jit = {}
@@ -213,10 +242,13 @@ class ContinuousBatchingServer:
         impl = self.impl
         temperature, top_p, top_k = self.sampler
         adtype = jnp.int8 if self.kv_dtype == "int8" else tc.jnp_dtype
+        use_lora = self.adapter_bank is not None
 
-        def prefill_fn(params, state: BatchState, ids, px, pad_mask, slot, rng):
+        def prefill_fn(params, state: BatchState, ids, px, pad_mask, slot, rng,
+                       bank, aid):
             cache1 = init_kv_cache(tc, 1, max_length=bucket, dtype=adtype)
             true_len = jnp.sum(pad_mask, axis=1).astype(jnp.int32)  # [1]
+            lora = _single_adapter(bank, aid) if use_lora else None
             out = vlm_forward(
                 params,
                 cfg,
@@ -226,6 +258,7 @@ class ContinuousBatchingServer:
                 kv_cache=cache1,
                 impl=impl,
                 logits_positions=(true_len - 1)[:, None],
+                lora=lora,
             )
             first = select_next_token(out.logits[:, 0], rng, temperature, top_p, top_k)
             first = first[0].astype(jnp.int32)
@@ -266,9 +299,16 @@ class ContinuousBatchingServer:
         temperature, top_p, top_k = self.sampler
         S = self.max_cache_length
         dt = tc.jnp_dtype
+        use_lora = self.adapter_bank is not None
 
-        def decode_fn(params, state: BatchState, active, rng):
+        def decode_fn(params, state: BatchState, active, rng, bank, slot_aid):
             karange = jnp.arange(S)[None, :]
+            if use_lora:
+                from llama32mm_tpu.train.lora import gather_adapter_bank
+
+                lora = gather_adapter_bank(bank, slot_aid)  # loop-invariant
+            else:
+                lora = None
 
             def one(st: BatchState, step_rng):
                 # Write offset per slot; the fed token's key lands there and
@@ -288,6 +328,7 @@ class ContinuousBatchingServer:
                     position_ids=st.rope_pos[:, None],
                     kv_cache=st.cache._replace(pos=wp),
                     impl=impl,
+                    lora=lora,
                 )
                 nxt = select_next_token(
                     out.logits[:, -1], step_rng, temperature, top_p, top_k
@@ -331,11 +372,18 @@ class ContinuousBatchingServer:
         K = self.spec_lookup
         dt = tc.jnp_dtype
         eos = self.eos_token_id
+        use_lora = self.adapter_bank is not None
 
-        def decode_fn(params, state: BatchState, active):
+        def decode_fn(params, state: BatchState, active, bank, slot_aid):
             B = state.rope_pos.shape[0]
             karange = jnp.arange(S)[None, :]  # [1, S]
             jr = jnp.arange(K + 1)
+            if use_lora:
+                from llama32mm_tpu.train.lora import gather_adapter_bank
+
+                lora = gather_adapter_bank(bank, slot_aid)
+            else:
+                lora = None
 
             def one(st: BatchState, _):
                 seq = st.seq
@@ -370,7 +418,7 @@ class ContinuousBatchingServer:
                 out = vlm_forward(
                     params, cfg, input_ids=feed, attention_mask=mask4,
                     position_ids=pos, kv_cache=st.cache._replace(pos=wp),
-                    impl=impl,
+                    impl=impl, lora=lora,
                 )
                 nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)  # [B, K+1]
 
@@ -459,11 +507,14 @@ class ContinuousBatchingServer:
         cfg = self.config
         tc = cfg.text_config
         impl = self.impl
+        use_lora = self.adapter_bank is not None
 
-        def chunk_fn(params, scratch: KVCache, emb_chunk, pad_row, off, true_len):
+        def chunk_fn(params, scratch: KVCache, emb_chunk, pad_row, off, true_len,
+                     bank, aid):
             from llama32mm_tpu.models.language import llama_forward, lm_head_apply
             from llama32mm_tpu.ops.attention import AttnMask
 
+            lora = _single_adapter(bank, aid) if use_lora else None
             mask = AttnMask(kv_valid=pad_row, q_offset=off)
             out = llama_forward(
                 params["language_model"]["model"],
@@ -473,10 +524,14 @@ class ContinuousBatchingServer:
                 position_ids=(off + jnp.arange(C))[None, :],
                 kv_cache=scratch._replace(pos=off),
                 impl=impl,
+                lora=lora,
             )
             idx = jnp.clip(true_len - 1 - off, 0, C - 1)
             h_last = jax.lax.dynamic_slice_in_dim(out.hidden_states, idx, 1, axis=1)
-            logits = lm_head_apply(params["language_model"], tc, h_last, impl=impl)
+            logits = lm_head_apply(
+                params["language_model"], tc, h_last, impl=impl,
+                lora=None if lora is None else lora.get("lm_head"),
+            )
             return out.kv_cache, logits[:, 0]
 
         return jax.jit(chunk_fn, donate_argnums=(1,) if self._donate else ())
@@ -598,6 +653,7 @@ class ContinuousBatchingServer:
         scratch, logits = self._chunk_jit[n](
             self.params, fl["scratch"], emb_chunk, fl["pad_row"],
             jnp.asarray(off, jnp.int32), jnp.asarray(fl["true_len"], jnp.int32),
+            self.adapter_bank, jnp.asarray(fl["req"].adapter_id, jnp.int32),
         )
         fl["scratch"] = scratch
         if off <= fl["true_len"] - 1 < off + n:
@@ -615,6 +671,7 @@ class ContinuousBatchingServer:
             )
             req.slot = slot
             self._by_slot[slot] = req
+            self._slot_adapter[slot] = req.adapter_id
             self._inflight = None
             first = int(np.asarray(self.state.last_token[slot]))
             self._emit(req, [first])
@@ -627,7 +684,8 @@ class ContinuousBatchingServer:
 
         return bucketed_len(s, max_new, self.max_cache_length, self.prompt_buckets)
 
-    def register_prefix(self, input_ids, pixel_values=None, auto_match=None) -> int:
+    def register_prefix(self, input_ids, pixel_values=None, auto_match=None,
+                        adapter_id: int = 0) -> int:
         """Compute and retain the KV of a shared prompt PREFIX (system
         preamble, few-shot header, image + instruction template, multi-turn
         history). Subsequent requests whose prompt starts with it skip its
@@ -655,6 +713,7 @@ class ContinuousBatchingServer:
             auto_match = not use_image
         if auto_match and use_image:
             raise ValueError("image prefixes cannot be auto-matched — pass prefix_id explicitly")
+        self._check_adapter_id(adapter_id)
 
         # one-shot prefill of the prefix into a fresh scratch cache (the same
         # offset-agnostic chunk program admissions use)
@@ -679,21 +738,35 @@ class ContinuousBatchingServer:
         cache, _ = self._chunk_jit[P](
             self.params, self._scratch_jit(), embeds, jnp.asarray(pad_row),
             jnp.asarray(0, jnp.int32), jnp.asarray(P, jnp.int32),
+            self.adapter_bank, jnp.asarray(adapter_id, jnp.int32),
         )
         pid = self._next_prefix_id
         self._next_prefix_id += 1
-        self._prefixes[pid] = _Prefix(pid, ids, use_image, auto_match, cache, P)
+        pfx = _Prefix(pid, ids, use_image, auto_match, cache, P)
+        pfx.adapter_id = adapter_id
+        self._prefixes[pid] = pfx
         return pid
 
     def drop_prefix(self, prefix_id: int) -> None:
         """Release a registered prefix (frees its HBM cache)."""
         del self._prefixes[prefix_id]
 
-    def _match_prefix(self, ids: np.ndarray) -> Optional[_Prefix]:
+    def _check_adapter_id(self, adapter_id: int) -> None:
+        if adapter_id == 0 and self.adapter_bank is None:
+            return
+        if self.adapter_bank is None:
+            raise ValueError("no adapter_bank configured on this server")
+        if not 0 <= adapter_id < self.n_adapters:
+            raise ValueError(
+                f"adapter_id {adapter_id} out of range [0, {self.n_adapters})"
+            )
+
+    def _match_prefix(self, ids: np.ndarray, adapter_id: int) -> Optional[_Prefix]:
         best = None
         for p in self._prefixes.values():
             if (
                 p.auto_match
+                and p.adapter_id == adapter_id  # prefix KV is adapter-specific
                 and p.length < ids.shape[0]
                 and (best is None or p.length > best.length)
                 and np.array_equal(ids[: p.length], p.input_ids)
@@ -707,11 +780,15 @@ class ContinuousBatchingServer:
         pixel_values=None,
         max_new_tokens: int = 256,
         prefix_id: Optional[int] = None,
+        adapter_id: int = 0,
     ) -> int:
         """Queue a request; returns its id. ``input_ids``: [s] or [1, s] — the
         FULL prompt including any prefix tokens. ``prefix_id`` pins a
         registered prefix; without it, text-only requests auto-match the
-        longest registered auto-match prefix."""
+        longest registered auto-match prefix (with the same ``adapter_id``).
+        ``adapter_id`` selects this request's LoRA from the server's
+        ``adapter_bank`` (0 = the bank's first entry, conventionally the
+        identity adapter)."""
         ids = np.asarray(input_ids)
         if ids.ndim == 2 and ids.shape[0] == 1:
             ids = ids[0]
@@ -735,6 +812,7 @@ class ContinuousBatchingServer:
         px = None if pixel_values is None else np.asarray(pixel_values)
         if px is not None and px.ndim == 4:
             px = px[0]
+        self._check_adapter_id(adapter_id)
         prefix = None
         if prefix_id is not None:
             prefix = self._prefixes[prefix_id]
@@ -749,11 +827,17 @@ class ContinuousBatchingServer:
                 raise ValueError(
                     "the prefix already carries the image — submit with pixel_values=None"
                 )
+            if prefix.adapter_id != adapter_id:
+                raise ValueError(
+                    f"prefix {prefix_id} was computed with adapter "
+                    f"{prefix.adapter_id}, not {adapter_id} — prefix KV is "
+                    f"adapter-specific"
+                )
         elif px is None:
-            prefix = self._match_prefix(ids)
+            prefix = self._match_prefix(ids, adapter_id)
         rid = self._next_id
         self._next_id += 1
-        req = _Request(rid, ids, px, max_new_tokens, prefix=prefix)
+        req = _Request(rid, ids, px, max_new_tokens, prefix=prefix, adapter_id=adapter_id)
         self._queue.append(req)
         self._results[rid] = req
         return rid
@@ -781,9 +865,12 @@ class ContinuousBatchingServer:
             jnp.asarray(pad),
             jnp.asarray(slot, jnp.int32),
             self._next_rng(),
+            self.adapter_bank,
+            jnp.asarray(req.adapter_id, jnp.int32),
         )
         req.slot = slot
         self._by_slot[slot] = req
+        self._slot_adapter[slot] = req.adapter_id
         # The prefill's sampled token is the request's first generated token.
         first = int(np.asarray(self.state.last_token[slot]))
         self._emit(req, [first])
@@ -842,7 +929,8 @@ class ContinuousBatchingServer:
                 if ("spec", n) not in self._decode_jit:
                     self._decode_jit[("spec", n)] = self._make_decode_spec(n)
                 self.state, toks, counts = self._decode_jit[("spec", n)](
-                    self.params, self.state, jnp.asarray(active_rows)
+                    self.params, self.state, jnp.asarray(active_rows),
+                    self.adapter_bank, jnp.asarray(self._slot_adapter, jnp.int32),
                 )
                 toks, counts = np.asarray(toks), np.asarray(counts)
                 for slot, req in enumerate(self._by_slot):
@@ -858,7 +946,8 @@ class ContinuousBatchingServer:
                 if n not in self._decode_jit:
                     self._decode_jit[n] = self._make_decode(n)
                 self.state, toks = self._decode_jit[n](
-                    self.params, self.state, jnp.asarray(active_rows), self._next_rng()
+                    self.params, self.state, jnp.asarray(active_rows), self._next_rng(),
+                    self.adapter_bank, jnp.asarray(self._slot_adapter, jnp.int32),
                 )
                 toks = np.asarray(toks)
                 for slot, req in enumerate(self._by_slot):
@@ -904,6 +993,7 @@ class ContinuousBatchingServer:
                 if self._prefixes
                 else {}
             ),
+            **({"adapters": self.n_adapters} if self.adapter_bank is not None else {}),
             **(
                 {
                     "spec_lookup": self.spec_lookup,

@@ -121,7 +121,13 @@ def init_causal_lm_params(key: jax.Array, config: LLAMA32Config, tie_weights: bo
 def _maybe_lora(x, base_out, lora, dropout_rng=None, dropout_rate: float = 0.0):
     """base_out + scaling · (dropout(x) @ A) @ B, scaling = alpha/rank
     (reference Linear_LORA.forward, Model/model.py:120-121). ``scaling`` is an
-    array leaf so per-layer LoRA params survive lax.scan slicing."""
+    array leaf so per-layer LoRA params survive lax.scan slicing.
+
+    A 3-D ``lora_a`` (``[B, in, r]``, batch-leading) applies a DIFFERENT
+    adapter per batch row — multi-LoRA serving, where each slot of the
+    continuous-batching pool runs its own fine-tune
+    (``train/lora.py::gather_adapter_bank``). Shared adapters stay 2-D after
+    the layer scan slices them."""
     if lora is None:
         return base_out
     a, b = lora["lora_a"], lora["lora_b"]
@@ -130,6 +136,10 @@ def _maybe_lora(x, base_out, lora, dropout_rng=None, dropout_rate: float = 0.0):
     if dropout_rng is not None and dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, x.shape)
         xin = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+    if a.ndim == 3:  # per-row adapters: [B, in, r] / [B, r, out] / [B]
+        delta = jnp.einsum("bti,bir->btr", xin, a.astype(x.dtype))
+        delta = jnp.einsum("btr,bro->bto", delta, b.astype(x.dtype))
+        return base_out + (scaling[:, None, None] * delta).astype(base_out.dtype)
     delta = jnp.matmul(jnp.matmul(xin, a.astype(x.dtype)), b.astype(x.dtype))
     return base_out + (scaling * delta).astype(base_out.dtype)
 

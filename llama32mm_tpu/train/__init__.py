@@ -6,6 +6,9 @@ from llama32mm_tpu.train.lora import (
     merge_lora_into_params,
     save_lora_adapters,
     load_lora_adapters,
+    stack_adapter_bank,
+    gather_adapter_bank,
+    zero_lora_params,
 )
 
 __all__ = [
@@ -16,4 +19,7 @@ __all__ = [
     "merge_lora_into_params",
     "save_lora_adapters",
     "load_lora_adapters",
+    "stack_adapter_bank",
+    "gather_adapter_bank",
+    "zero_lora_params",
 ]

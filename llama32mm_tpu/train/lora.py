@@ -105,6 +105,50 @@ def init_lora_params(
     return lora
 
 
+def zero_lora_params(config, rank: int = 16, **kw) -> dict:
+    """An identity adapter (B = 0, like init) — slot 0 of a serving bank, so
+    requests without an adapter run the base model exactly."""
+    return init_lora_params(jax.random.PRNGKey(0), config, rank=rank, **kw)
+
+
+def stack_adapter_bank(adapters: Sequence[dict]) -> dict:
+    """Stack N same-shaped adapter trees into a bank (leaves gain a leading
+    ``[N, ...]`` axis) for multi-LoRA serving: the continuous-batching server
+    holds one bank and every slot picks its adapter by index
+    (``ContinuousBatchingServer(adapter_bank=...)``). All adapters must share
+    rank/targets; entry 0 is conventionally the identity adapter
+    (:func:`zero_lora_params`)."""
+    if not adapters:
+        raise ValueError("need at least one adapter")
+    structs = {jax.tree.structure(a) for a in adapters}
+    if len(structs) != 1:
+        raise ValueError("adapters have mismatched structures (rank/targets must agree)")
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *adapters)
+
+
+def gather_adapter_bank(bank: dict, idx) -> dict:
+    """Per-row adapter tree for a batch: ``idx [B]`` selects each row's
+    adapter from the bank and the layer axis is moved back to the front so
+    the decoder's layer scan slices it — blocks leaves become
+    ``[L, B, in, r]`` (scan → ``[B, in, r]``, the batched path in
+    ``models/language.py::_maybe_lora``), flat adapters (lm_head/projector)
+    become ``[B, in, r]``."""
+    idx = jnp.asarray(idx, jnp.int32)
+
+    out = {}
+    if "blocks" in bank:
+        out["blocks"] = jax.tree.map(
+            lambda leaf: jnp.moveaxis(jnp.take(leaf, idx, axis=0), 0, 1),
+            bank["blocks"],
+        )
+    for name in bank:
+        if name != "blocks":
+            out[name] = jax.tree.map(
+                lambda leaf: jnp.take(leaf, idx, axis=0), bank[name]
+            )
+    return out
+
+
 class Linear_LORA:
     """Object-API parity with the reference ``Linear_LORA`` module
     (Model/model.py:107-121): frozen base + trainable adapters."""
