@@ -98,6 +98,14 @@ class ServingFrontend:
         with self._lock:
             self.srv.drop_prefix(prefix_id)
 
+    def cancel(self, rid: int) -> bool:
+        with self._lock:
+            ok = self.srv.cancel(rid)
+        ev = self._done_events.pop(rid, None)
+        if ev is not None:
+            ev.set()  # release any /generate waiter
+        return ok
+
     def wait(self, rid: int, timeout: Optional[float] = None) -> bool:
         ev = self._done_events.get(rid)
         if ev is None:  # already finished (event popped by the loop)
@@ -210,6 +218,9 @@ def make_handler(frontend: ServingFrontend):
                 if self.path.startswith("/prefix/"):
                     frontend.drop_prefix(int(self.path.rsplit("/", 1)[1]))
                     return self._json(200, {"ok": True})
+                if self.path.startswith("/request/"):
+                    ok = frontend.cancel(int(self.path.rsplit("/", 1)[1]))
+                    return self._json(200, {"cancelled": ok})
                 return self._json(404, {"error": f"unknown path {self.path}"})
             except KeyError:
                 return self._json(404, {"error": "unknown prefix id"})

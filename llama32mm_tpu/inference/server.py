@@ -968,6 +968,27 @@ class ContinuousBatchingServer:
             self.step()
         return {rid: np.asarray(r.tokens) for rid, r in self._results.items()}
 
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request: dequeue it, or free its slot if running (the
+        slot's cache state needs no cleanup — admission fully resets it).
+        Cancelling the in-flight chunked admission abandons the scratch
+        prefill. Returns False if the request already finished."""
+        req = self._results[rid]
+        if req.finished:
+            return False
+        req.finished = True
+        if req.slot is not None:
+            self._by_slot[req.slot] = None
+            req.slot = None
+        elif self._inflight is not None and self._inflight["req"] is req:
+            self._inflight = None
+        else:
+            try:
+                self._queue.remove(req)
+            except ValueError:
+                pass
+        return True
+
     def tokens_so_far(self, rid: int) -> np.ndarray:
         return np.asarray(self._results[rid].tokens)
 

@@ -193,3 +193,27 @@ def test_text_only_requests(tiny):
     eng = InferenceEngine(params, cfg, max_cache_length=64, prompt_buckets=(16,))
     want = eng.generate(ids, None, max_new_tokens=5, temperature=0.0, eos_token_id=-1)
     np.testing.assert_array_equal(results[rid], np.asarray(want.tokens)[0, :5])
+
+
+def test_cancel_request(tiny):
+    cfg, params = tiny
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=1, max_cache_length=64, prompt_buckets=(16,),
+        steps_per_sync=2, eos_token_id=-1,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(20), (1, 10), 0, cfg.vocab_size - 10)
+    # cancel while queued (no slot yet: r0 occupies the single slot)
+    r0 = srv.submit(ids[0], None, max_new_tokens=8)
+    r1 = srv.submit(ids[0], None, max_new_tokens=8)
+    srv.step()
+    assert srv.cancel(r1) and srv.is_finished(r1)
+    # cancel mid-decode: slot frees for the next request
+    assert not srv.is_finished(r0)
+    assert srv.cancel(r0) and srv._by_slot == [None]
+    assert not srv.cancel(r0)  # already finished
+    r2 = srv.submit(ids[0], None, max_new_tokens=4)
+    results = srv.run()
+    assert len(results[r2]) == 4
+    np.testing.assert_array_equal(
+        results[r2], _engine_tokens(cfg, params, ids, None, 4, (16,))
+    )
