@@ -9,7 +9,10 @@ module is that process:
   work is pending (admissions interleave with decode per the scheduler);
 - ``POST /generate``  — synchronous: submit and wait; body
   ``{"input_ids": [...], "pixel_values": [[..]] (optional, [3,H,W]),
-  "max_new_tokens": N}``; returns ``{"request_id", "tokens", "text"?}``;
+  "max_new_tokens": N, "adapter_id"?: i}``; or the text surface:
+  ``{"prompt": "...", "image"?: <base64 image file>, ...}`` which runs the
+  reference preprocessing pipeline server-side (template + tokenize +
+  resize/rescale/normalize); returns ``{"request_id", "tokens", "text"?}``;
 - ``POST /submit`` — asynchronous: returns ``{"request_id"}`` immediately;
 - ``GET /result/<rid>`` — ``{"finished": bool, "tokens": [...]}`` so far;
 - ``GET /stats`` — scheduler occupancy/queue/progress counters;
@@ -19,7 +22,10 @@ module is that process:
   ``/generate``/``/submit``); ``DELETE /prefix/<pid>`` releases it;
 - ``POST /generate_stream`` — server-sent events: tokens stream as they
   decode (``data: {"tokens": [...]}`` deltas, final
-  ``data: {"finished": true, ...}`` event).
+  ``data: {"finished": true, ...}`` event);
+- ``DELETE /request/<rid>`` — cancel a queued or running request;
+- ``"adapter_id": i`` in any submit body selects a LoRA from the server's
+  adapter bank (multi-LoRA serving).
 
 All scheduler access is serialized by one lock (the compiled programs do the
 heavy lifting on device; the lock is held for host-side bookkeeping plus one
@@ -43,9 +49,10 @@ import numpy as np
 class ServingFrontend:
     """Owns a ContinuousBatchingServer + the scheduler thread."""
 
-    def __init__(self, server, tokenizer=None):
+    def __init__(self, server, tokenizer=None, processor=None):
         self.srv = server
         self.tokenizer = tokenizer
+        self.processor = processor  # MllamaImageProcessor for prompt+image bodies
         self._lock = threading.Lock()
         self._work = threading.Event()
         self._done_events: dict[int, threading.Event] = {}
@@ -74,14 +81,50 @@ class ServingFrontend:
                 self._work.clear()
 
     def submit(self, input_ids, pixel_values, max_new_tokens: int,
-               prefix_id: Optional[int] = None) -> int:
+               prefix_id: Optional[int] = None, adapter_id: int = 0) -> int:
         with self._lock:
             rid = self.srv.submit(
-                input_ids, pixel_values, max_new_tokens, prefix_id=prefix_id
+                input_ids, pixel_values, max_new_tokens,
+                prefix_id=prefix_id, adapter_id=adapter_id,
             )
             self._done_events[rid] = threading.Event()
         self._work.set()
         return rid
+
+    def encode_request(self, req: dict):
+        """Resolve a request body to ``(input_ids, pixel_values)``. Accepts
+        raw ``input_ids`` (+ optional ``pixel_values``) or the text surface:
+        ``prompt`` (str) + optional ``image`` (base64-encoded image file),
+        which runs the reference preprocessing pipeline
+        (``MllamaImageProcessor``: <image>*N + bos + prompt + template,
+        bicubic resize / rescale / normalize — processing_mllama.py:16-43)."""
+        if "input_ids" in req:
+            ids = np.asarray(req["input_ids"], np.int32)
+            px = req.get("pixel_values")
+            return ids, None if px is None else np.asarray(px, np.float32)
+        prompt = req["prompt"]  # KeyError → 400 (need input_ids or prompt)
+        img_b64 = req.get("image")
+        if img_b64 is None:
+            if self.tokenizer is None:
+                raise ValueError("server has no tokenizer — send input_ids")
+            text = (getattr(self.tokenizer, "bos_token", None) or "") + prompt
+            ids = self.tokenizer(
+                [text], return_tensors="np", padding=True, truncation=False
+            )["input_ids"][0]
+            return np.asarray(ids, np.int64).astype(np.int32), None
+        if self.processor is None:
+            raise ValueError("server has no image processor — send input_ids")
+        import base64
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(img_b64))).convert("RGB")
+        out = self.processor([prompt], [img], padding=True)
+        return (
+            np.asarray(out["input_ids"][0], np.int32),
+            np.asarray(out["pixel_values"][0], np.float32),
+        )
 
     def register_prefix(self, input_ids, pixel_values=None) -> int:
         with self._lock:
@@ -188,24 +231,23 @@ def make_handler(frontend: ServingFrontend):
         def do_POST(self):
             try:
                 req = self._read_body()
-                ids = np.asarray(req["input_ids"], np.int32)
-                px = req.get("pixel_values")
-                px = None if px is None else np.asarray(px, np.float32)
+                ids, px = frontend.encode_request(req)
                 if self.path == "/prefix":
                     pid = frontend.register_prefix(ids, px)
                     return self._json(200, {"prefix_id": pid})
                 mnt = int(req.get("max_new_tokens", 64))
                 pfx = req.get("prefix_id")
                 pfx = None if pfx is None else int(pfx)
+                aid = int(req.get("adapter_id", 0))
                 if self.path == "/submit":
-                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx)
+                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx, adapter_id=aid)
                     return self._json(200, {"request_id": rid})
                 if self.path == "/generate":
-                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx)
+                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx, adapter_id=aid)
                     frontend.wait(rid)
                     return self._json(200, frontend.result(rid))
                 if self.path == "/generate_stream":
-                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx)
+                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx, adapter_id=aid)
                     return self._sse(rid)
                 return self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
@@ -268,7 +310,16 @@ def main(argv=None):
         prefill_chunk=args.prefill_chunk,
         spec_lookup=args.spec_lookup,
     )
-    frontend = ServingFrontend(srv, tokenizer)
+    from llama32mm_tpu.preprocess.processor import MllamaImageProcessor
+
+    processor = MllamaImageProcessor(
+        tokenizer,
+        model.config.text_config.num_image_tokens,
+        model.config.vision_config.image_size,
+    )
+    print("compiling decode programs...", flush=True)
+    srv.warmup()  # compile the decode ladder before accepting traffic
+    frontend = ServingFrontend(srv, tokenizer, processor)
     httpd = serve_forever(frontend, args.host, args.port)
     print(f"serving on {args.host}:{args.port} "
           f"(slots={args.slots}, quantize={args.quantize})")

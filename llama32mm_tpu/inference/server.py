@@ -917,22 +917,16 @@ class ContinuousBatchingServer:
 
         active_rows = [r is not None for r in self._by_slot]
         if any(active_rows):
-            # Bound the chunk so the tightest request doesn't overshoot by
-            # more than it must (tokens past max_new/EOS are discarded).
+            # Bound the chunk by the tightest request's remaining budget, but
+            # quantized (_chunk_steps): tokens past max_new/EOS are discarded
+            # by _emit.
             remaining = min(
                 r.max_new_tokens - len(r.tokens) for r in self._by_slot if r is not None
             )
             if self.spec_lookup > 0:
                 # each spec step commits 1..K+1 tokens per slot
-                n = max(1, min(self.steps_per_sync,
-                               -(-remaining // (self.spec_lookup + 1))))
-                if ("spec", n) not in self._decode_jit:
-                    self._decode_jit[("spec", n)] = self._make_decode_spec(n)
-                self.state, toks, counts = self._decode_jit[("spec", n)](
-                    self.params, self.state, jnp.asarray(active_rows),
-                    self.adapter_bank, jnp.asarray(self._slot_adapter, jnp.int32),
-                )
-                toks, counts = np.asarray(toks), np.asarray(counts)
+                n = self._chunk_steps(-(-remaining // (self.spec_lookup + 1)))
+                _, toks, counts = self._dispatch_decode(n, active_rows)
                 for slot, req in enumerate(self._by_slot):
                     if req is not None:
                         out = []
@@ -942,20 +936,62 @@ class ContinuousBatchingServer:
                         self._spec_tokens += len(out)
                         self._emit(req, out)
             else:
-                n = max(1, min(self.steps_per_sync, remaining))
-                if n not in self._decode_jit:
-                    self._decode_jit[n] = self._make_decode(n)
-                self.state, toks = self._decode_jit[n](
-                    self.params, self.state, jnp.asarray(active_rows), self._next_rng(),
-                    self.adapter_bank, jnp.asarray(self._slot_adapter, jnp.int32),
-                )
-                toks = np.asarray(toks)
+                n = self._chunk_steps(remaining)
+                toks, _, _ = self._dispatch_decode(n, active_rows)
                 for slot, req in enumerate(self._by_slot):
                     if req is not None:
                         self._emit(req, [int(t) for t in toks[slot]])
 
         after = {r.rid for r in self._results.values() if r.finished}
         return sorted(after - before)
+
+    def _chunk_steps(self, needed: int) -> int:
+        """Quantize the decode-chunk length to a power of two capped at
+        ``steps_per_sync``. Sizing the chunk exactly to the tightest request's
+        tail would compile a fresh executable for every distinct remaining
+        length (each compile is tens of seconds on a tunneled backend, mid
+        serving). Overshot steps are discarded by ``_emit``; their clamped
+        cache writes land only in the finishing slot's own row, which the next
+        admission fully resets."""
+        n = 1
+        while n < min(needed, self.steps_per_sync):
+            n *= 2
+        return min(n, max(1, self.steps_per_sync))
+
+    def _dispatch_decode(self, n: int, active_rows):
+        """Run one compiled decode chunk of ``n`` scan steps. Returns
+        ``(tokens, spec_tokens, spec_counts)`` as numpy — the first for the
+        plain path ([B, n]), the latter two for the spec path
+        ([B, n, K+1], [B, n])."""
+        active = jnp.asarray(active_rows)
+        slot_aid = jnp.asarray(self._slot_adapter, jnp.int32)
+        if self.spec_lookup > 0:
+            if ("spec", n) not in self._decode_jit:
+                self._decode_jit[("spec", n)] = self._make_decode_spec(n)
+            self.state, toks, counts = self._decode_jit[("spec", n)](
+                self.params, self.state, active, self.adapter_bank, slot_aid
+            )
+            return None, np.asarray(toks), np.asarray(counts)
+        if n not in self._decode_jit:
+            self._decode_jit[n] = self._make_decode(n)
+        self.state, toks = self._decode_jit[n](
+            self.params, self.state, active, self._next_rng(),
+            self.adapter_bank, slot_aid,
+        )
+        return np.asarray(toks), None, None
+
+    def warmup(self) -> None:
+        """Pre-compile the decode-chunk ladder (every power-of-two chunk size
+        up to ``steps_per_sync``) so serving never stalls on a mid-stream
+        compile. Each program runs once with every slot forced inactive — a
+        semantic no-op (inactive slots advance nothing; their scratch cache
+        writes are masked), so this is safe even while requests are live."""
+        n = 1
+        while True:
+            self._dispatch_decode(self._chunk_steps(n), [False] * self.slots)
+            if n >= self.steps_per_sync:
+                break
+            n *= 2
 
     def run(self) -> dict[int, np.ndarray]:
         """Drive until every submitted request finishes; returns

@@ -3,7 +3,7 @@ the real chip: aggregate throughput with spec_lookup=K vs 0 for a pool of
 repetitive continuations (the favorable regime) in one process (params
 transfer once).
 
-Run: python -u scripts/bench_spec_server.py [slots] [K]
+Run: python -u scripts/bench_spec_server.py [slots] [K] [steps_per_sync]
 """
 
 from __future__ import annotations
@@ -23,12 +23,13 @@ from llama32mm_tpu.models.vlm import init_vlm_params
 MAX_NEW = 96
 
 
-def run(params, cfg, prompts, slots, spec):
+def run(params, cfg, prompts, slots, spec, steps_per_sync):
     srv = ContinuousBatchingServer(
         params, cfg, slots=slots, max_cache_length=CACHE_LEN, prompt_buckets="auto",
-        eos_token_id=-1, steps_per_sync=4, spec_lookup=spec,
+        eos_token_id=-1, steps_per_sync=steps_per_sync, spec_lookup=spec,
     )
-    # warm: admit + decode programs
+    # warm: decode ladder + admit/prefill programs
+    srv.warmup()
     rid = srv.submit(prompts[0], None, max_new_tokens=8)
     srv.run()
     t0 = time.perf_counter()
@@ -43,6 +44,7 @@ def run(params, cfg, prompts, slots, spec):
 def main():
     slots = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
     tc = cfg.text_config
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
@@ -54,11 +56,11 @@ def main():
         )
         prompts.append(np.tile(base, 22)[: 128 - i * 3])  # ragged, repetitive
 
-    base_tps, _ = run(params, cfg, prompts, slots, 0)
-    print(f"slots={slots} spec=0: {base_tps:.1f} tok/s aggregate", flush=True)
-    spec_tps, acc = run(params, cfg, prompts, slots, K)
+    base_tps, _ = run(params, cfg, prompts, slots, 0, sps)
+    print(f"slots={slots} spec=0 sps={sps}: {base_tps:.1f} tok/s aggregate", flush=True)
+    spec_tps, acc = run(params, cfg, prompts, slots, K, sps)
     print(
-        f"slots={slots} spec={K}: {spec_tps:.1f} tok/s aggregate "
+        f"slots={slots} spec={K} sps={sps}: {spec_tps:.1f} tok/s aggregate "
         f"({spec_tps / base_tps:.2f}x, {acc} committed tokens/verify-step)"
     )
 

@@ -199,3 +199,60 @@ def test_sse_streaming_generate(live):
     np.testing.assert_array_equal(np.asarray(final["tokens"]), want)
     np.testing.assert_array_equal(np.asarray(streamed), want)
     assert events >= 2  # tokens actually streamed before the final event
+
+
+def test_text_and_image_surface(tmp_path):
+    """POST /generate with {"prompt", "image": base64} runs the reference
+    preprocessing pipeline server-side and must match feeding the processor's
+    own outputs to the offline engine."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from llama32mm_tpu.preprocess.processor import MllamaImageProcessor
+    from tests.test_preprocess import FakeTokenizer
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTokenizer()
+    proc = MllamaImageProcessor(
+        tok, cfg.text_config.num_image_tokens, cfg.vision_config.image_size
+    )
+    tok.vocab["<image>"] = cfg.image_token_index  # align with the model config
+
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=1, max_cache_length=64, prompt_buckets=(32,),
+        eos_token_id=-1, steps_per_sync=2,
+    )
+    frontend = ServingFrontend(srv, tokenizer=None, processor=proc)
+    httpd = serve_forever(frontend, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        img = Image.fromarray(
+            (np.linspace(0, 255, 48 * 48 * 3).reshape(48, 48, 3)).astype(np.uint8)
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+
+        status, out = _post(port, "/generate", {
+            "prompt": "hi", "image": b64, "max_new_tokens": 5,
+        })
+        assert status == 200 and out["finished"], out
+
+        inputs = proc(["hi"], [img], padding=True)
+        eng = InferenceEngine(params, cfg, max_cache_length=64, prompt_buckets=(32,))
+        want = eng.generate(
+            np.asarray(inputs["input_ids"], np.int32),
+            np.asarray(inputs["pixel_values"], np.float32),
+            max_new_tokens=5, temperature=0.0, eos_token_id=-1,
+        )
+        np.testing.assert_array_equal(out["tokens"], np.asarray(want.tokens)[0, :5])
+        # text-only surface needs a tokenizer on the frontend
+        status, out = _post(port, "/generate", {"prompt": "hi", "max_new_tokens": 3})
+        assert status == 400 and "tokenizer" in out["error"]
+    finally:
+        httpd.shutdown()
+        frontend.shutdown()

@@ -217,3 +217,40 @@ def test_cancel_request(tiny):
     np.testing.assert_array_equal(
         results[r2], _engine_tokens(cfg, params, ids, None, 4, (16,))
     )
+
+
+def test_decode_chunk_ladder_bounds_executables(tiny):
+    """Varying max_new_tokens must NOT mint a decode executable per distinct
+    tail length: chunk sizes are quantized to powers of two <= steps_per_sync
+    (a fresh compile mid-serving is tens of seconds on a tunneled backend),
+    and warmup() pre-builds the whole ladder."""
+    cfg, params = tiny
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=(16,),
+        steps_per_sync=8, eos_token_id=-1,
+    )
+    srv.warmup()
+    assert set(srv._decode_jit) == {1, 2, 4, 8}
+    ids = jax.random.randint(jax.random.PRNGKey(21), (1, 10), 0, cfg.vocab_size - 10)
+    rids = [srv.submit(ids[0], None, max_new_tokens=m) for m in (1, 3, 5, 7, 11, 13)]
+    results = srv.run()
+    assert set(srv._decode_jit) == {1, 2, 4, 8}  # no new programs compiled
+    for rid, m in zip(rids, (1, 3, 5, 7, 11, 13)):
+        want = _engine_tokens(cfg, params, ids, None, m, (16,))
+        np.testing.assert_array_equal(results[rid], want[:m])
+
+
+def test_warmup_is_noop_mid_serving(tiny):
+    cfg, params = tiny
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=1, max_cache_length=64, prompt_buckets=(16,),
+        steps_per_sync=2, eos_token_id=-1,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(22), (1, 10), 0, cfg.vocab_size - 10)
+    rid = srv.submit(ids[0], None, max_new_tokens=6)
+    srv.step()  # request now live in a slot
+    srv.warmup()  # must not advance or corrupt the live slot
+    results = srv.run()
+    np.testing.assert_array_equal(
+        results[rid], _engine_tokens(cfg, params, ids, None, 6, (16,))
+    )
