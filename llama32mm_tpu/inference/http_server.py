@@ -81,11 +81,13 @@ class ServingFrontend:
                 self._work.clear()
 
     def submit(self, input_ids, pixel_values, max_new_tokens: int,
-               prefix_id: Optional[int] = None, adapter_id: int = 0) -> int:
+               prefix_id: Optional[int] = None, adapter_id: int = 0,
+               temperature=None, top_p=None, top_k=None) -> int:
         with self._lock:
             rid = self.srv.submit(
                 input_ids, pixel_values, max_new_tokens,
                 prefix_id=prefix_id, adapter_id=adapter_id,
+                temperature=temperature, top_p=top_p, top_k=top_k,
             )
             self._done_events[rid] = threading.Event()
         self._work.set()
@@ -238,16 +240,22 @@ def make_handler(frontend: ServingFrontend):
                 mnt = int(req.get("max_new_tokens", 64))
                 pfx = req.get("prefix_id")
                 pfx = None if pfx is None else int(pfx)
-                aid = int(req.get("adapter_id", 0))
+                kw = dict(
+                    prefix_id=pfx,
+                    adapter_id=int(req.get("adapter_id", 0)),
+                    temperature=req.get("temperature"),
+                    top_p=req.get("top_p"),
+                    top_k=req.get("top_k"),
+                )
                 if self.path == "/submit":
-                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx, adapter_id=aid)
+                    rid = frontend.submit(ids, px, mnt, **kw)
                     return self._json(200, {"request_id": rid})
                 if self.path == "/generate":
-                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx, adapter_id=aid)
+                    rid = frontend.submit(ids, px, mnt, **kw)
                     frontend.wait(rid)
                     return self._json(200, frontend.result(rid))
                 if self.path == "/generate_stream":
-                    rid = frontend.submit(ids, px, mnt, prefix_id=pfx, adapter_id=aid)
+                    rid = frontend.submit(ids, px, mnt, **kw)
                     return self._sse(rid)
                 return self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:

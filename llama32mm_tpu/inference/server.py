@@ -58,7 +58,7 @@ from llama32mm_tpu.configs import MLLAMAConfig
 from llama32mm_tpu.inference.engine import structured_prefill_mask
 from llama32mm_tpu.models.vlm import vlm_forward
 from llama32mm_tpu.utils.kvcache import KVCache, init_kv_cache
-from llama32mm_tpu.utils.sampling import select_next_token
+from llama32mm_tpu.utils.sampling import select_next_token_traced
 
 
 def _single_adapter(bank: dict, aid) -> dict:
@@ -84,11 +84,11 @@ class BatchState(NamedTuple):
 class _Request:
     __slots__ = (
         "rid", "input_ids", "pixel_values", "max_new_tokens", "tokens",
-        "slot", "finished", "prompt_len", "prefix", "adapter_id",
+        "slot", "finished", "prompt_len", "prefix", "adapter_id", "sampler",
     )
 
     def __init__(self, rid, input_ids, pixel_values, max_new_tokens, prefix=None,
-                 adapter_id=0):
+                 adapter_id=0, sampler=(0.0, 0.9, 50)):
         self.rid = rid
         self.input_ids = input_ids  # np [s]
         self.pixel_values = pixel_values  # np [3, H, W] or None
@@ -99,6 +99,7 @@ class _Request:
         self.prompt_len = int(input_ids.shape[-1])
         self.prefix: Optional[_Prefix] = prefix
         self.adapter_id = adapter_id
+        self.sampler = sampler  # (temperature, top_p, top_k) for this request
 
 
 class _Prefix:
@@ -123,8 +124,9 @@ class ContinuousBatchingServer:
     """Slot-pool scheduler: submit requests any time, step the batch, collect
     finished generations.
 
-    Sampler settings are server-level (they key the compiled programs);
-    ``max_new_tokens`` is per request. ``prompt_buckets`` as in
+    Constructor sampler settings are per-request DEFAULTS (override per
+    ``submit``; settings are traced arguments, so any mix shares one
+    executable); ``max_new_tokens`` is per request. ``prompt_buckets`` as in
     ``InferenceEngine``: ``"auto"`` pads prompts to 128-lane multiples so one
     prefill executable serves a band of lengths.
     """
@@ -214,6 +216,7 @@ class ContinuousBatchingServer:
         self._queue: deque[_Request] = deque()
         self._by_slot: list[Optional[_Request]] = [None] * slots
         self._slot_adapter = [0] * slots  # adapter index per slot (bank mode)
+        self._slot_sampler = [self.sampler] * slots  # (T, p, k) per slot
         self._results: dict[int, _Request] = {}
         self._next_id = 0
         self._prefill_jit = {}
@@ -236,16 +239,33 @@ class ContinuousBatchingServer:
         self._rng, r = jax.random.split(self._rng)
         return r
 
+    @staticmethod
+    def _samp_args(sampler):
+        """(T, p, k) → traced [1]-arrays for the single-request programs."""
+        t, p, k = sampler
+        return (
+            jnp.asarray([t], jnp.float32),
+            jnp.asarray([p], jnp.float32),
+            jnp.asarray([k], jnp.int32),
+        )
+
+    def _slot_samp_args(self):
+        """Per-slot sampler settings as traced [B]-arrays for decode."""
+        return (
+            jnp.asarray([s[0] for s in self._slot_sampler], jnp.float32),
+            jnp.asarray([s[1] for s in self._slot_sampler], jnp.float32),
+            jnp.asarray([s[2] for s in self._slot_sampler], jnp.int32),
+        )
+
     def _make_prefill(self, bucket: int, use_image: bool):
         cfg = self.config
         tc = cfg.text_config
         impl = self.impl
-        temperature, top_p, top_k = self.sampler
         adtype = jnp.int8 if self.kv_dtype == "int8" else tc.jnp_dtype
         use_lora = self.adapter_bank is not None
 
         def prefill_fn(params, state: BatchState, ids, px, pad_mask, slot, rng,
-                       bank, aid):
+                       bank, aid, samp):
             cache1 = init_kv_cache(tc, 1, max_length=bucket, dtype=adtype)
             true_len = jnp.sum(pad_mask, axis=1).astype(jnp.int32)  # [1]
             lora = _single_adapter(bank, aid) if use_lora else None
@@ -260,7 +280,9 @@ class ContinuousBatchingServer:
                 logits_positions=(true_len - 1)[:, None],
                 lora=lora,
             )
-            first = select_next_token(out.logits[:, 0], rng, temperature, top_p, top_k)
+            first = select_next_token_traced(
+                out.logits[:, 0], rng, samp[0], samp[1], samp[2]
+            )
             first = first[0].astype(jnp.int32)
 
             c = state.cache
@@ -296,12 +318,12 @@ class ContinuousBatchingServer:
         cfg = self.config
         tc = cfg.text_config
         impl = self.impl
-        temperature, top_p, top_k = self.sampler
         S = self.max_cache_length
         dt = tc.jnp_dtype
         use_lora = self.adapter_bank is not None
 
-        def decode_fn(params, state: BatchState, active, rng, bank, slot_aid):
+        def decode_fn(params, state: BatchState, active, rng, bank, slot_aid,
+                      slot_samp):
             karange = jnp.arange(S)[None, :]
             if use_lora:
                 from llama32mm_tpu.train.lora import gather_adapter_bank
@@ -330,8 +352,9 @@ class ContinuousBatchingServer:
                     impl=impl,
                     lora=lora,
                 )
-                nxt = select_next_token(
-                    out.logits[:, -1], step_rng, temperature, top_p, top_k
+                nxt = select_next_token_traced(
+                    out.logits[:, -1], step_rng,
+                    slot_samp[0], slot_samp[1], slot_samp[2],
                 ).astype(jnp.int32)
                 # Only active slots advance; idle slots keep rewriting the
                 # same (masked) scratch position and their state is fully
@@ -537,11 +560,9 @@ class ContinuousBatchingServer:
         return jax.jit(chunk_fn, donate_argnums=(1,) if self._donate else ())
 
     def _make_splice(self):
-        temperature, top_p, top_k = self.sampler
-
         def splice_fn(params, state: BatchState, scratch: KVCache, logits,
-                      pad_row, ids_row, filled, true_len, slot, rng):
-            first = select_next_token(logits, rng, temperature, top_p, top_k)
+                      pad_row, ids_row, filled, true_len, slot, rng, samp):
+            first = select_next_token_traced(logits, rng, samp[0], samp[1], samp[2])
             first = first[0].astype(jnp.int32)
             c = state.cache
             k = jax.lax.dynamic_update_slice(c.k, scratch.k, (0, slot, 0, 0, 0))
@@ -668,10 +689,12 @@ class ContinuousBatchingServer:
                 fl["pad_row"], fl["ids_row"], jnp.asarray(bucket, jnp.int32),
                 jnp.asarray(fl["true_len"], jnp.int32),
                 jnp.asarray(slot, jnp.int32), self._next_rng(),
+                self._samp_args(req.sampler),
             )
             req.slot = slot
             self._by_slot[slot] = req
             self._slot_adapter[slot] = req.adapter_id
+            self._slot_sampler[slot] = req.sampler
             self._inflight = None
             first = int(np.asarray(self.state.last_token[slot]))
             self._emit(req, [first])
@@ -781,6 +804,9 @@ class ContinuousBatchingServer:
         max_new_tokens: int = 256,
         prefix_id: Optional[int] = None,
         adapter_id: int = 0,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        top_k: Optional[int] = None,
     ) -> int:
         """Queue a request; returns its id. ``input_ids``: [s] or [1, s] — the
         FULL prompt including any prefix tokens. ``prefix_id`` pins a
@@ -788,7 +814,20 @@ class ContinuousBatchingServer:
         longest registered auto-match prefix (with the same ``adapter_id``).
         ``adapter_id`` selects this request's LoRA from the server's
         ``adapter_bank`` (0 = the bank's first entry, conventionally the
-        identity adapter)."""
+        identity adapter). ``temperature``/``top_p``/``top_k`` override the
+        server defaults for THIS request — sampler settings are traced, so a
+        batch mixes per-request samplers in one executable and new settings
+        never recompile (``spec_lookup`` serving stays greedy-only)."""
+        sampler = (
+            self.sampler[0] if temperature is None else float(temperature),
+            self.sampler[1] if top_p is None else float(top_p),
+            self.sampler[2] if top_k is None else int(top_k),
+        )
+        if self.spec_lookup > 0 and sampler[0] != 0.0:
+            raise ValueError(
+                "spec_lookup serving is greedy-only (temperature=0.0); committed "
+                "tokens are the model's own argmax so greedy equality holds"
+            )
         ids = np.asarray(input_ids)
         if ids.ndim == 2 and ids.shape[0] == 1:
             ids = ids[0]
@@ -837,7 +876,8 @@ class ContinuousBatchingServer:
             prefix = self._match_prefix(ids, adapter_id)
         rid = self._next_id
         self._next_id += 1
-        req = _Request(rid, ids, px, max_new_tokens, prefix=prefix, adapter_id=adapter_id)
+        req = _Request(rid, ids, px, max_new_tokens, prefix=prefix,
+                       adapter_id=adapter_id, sampler=sampler)
         self._queue.append(req)
         self._results[rid] = req
         return rid
@@ -867,10 +907,12 @@ class ContinuousBatchingServer:
             self._next_rng(),
             self.adapter_bank,
             jnp.asarray(req.adapter_id, jnp.int32),
+            self._samp_args(req.sampler),
         )
         req.slot = slot
         self._by_slot[slot] = req
         self._slot_adapter[slot] = req.adapter_id
+        self._slot_sampler[slot] = req.sampler
         # The prefill's sampled token is the request's first generated token.
         first = int(np.asarray(self.state.last_token[slot]))
         self._emit(req, [first])
@@ -976,7 +1018,7 @@ class ContinuousBatchingServer:
             self._decode_jit[n] = self._make_decode(n)
         self.state, toks = self._decode_jit[n](
             self.params, self.state, active, self._next_rng(),
-            self.adapter_bank, slot_aid,
+            self.adapter_bank, slot_aid, self._slot_samp_args(),
         )
         return np.asarray(toks), None, None
 

@@ -1,3 +1,10 @@
+from llama32mm_tpu.train.full import (
+    FullTrainState,
+    load_full_train_state,
+    make_train_step,
+    save_full_train_state,
+    split_trainable,
+)
 from llama32mm_tpu.train.lora import (
     Linear_LORA,
     init_lora_params,
@@ -12,6 +19,11 @@ from llama32mm_tpu.train.lora import (
 )
 
 __all__ = [
+    "FullTrainState",
+    "load_full_train_state",
+    "make_train_step",
+    "save_full_train_state",
+    "split_trainable",
     "Linear_LORA",
     "init_lora_params",
     "lora_train_step",

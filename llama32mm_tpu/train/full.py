@@ -1,0 +1,206 @@
+"""Full-parameter fine-tuning (beyond the reference's LoRA-only recipe).
+
+The reference ships only the LoRA pieces (``Linear_LORA`` Model/model.py:107-121
++ the shifted-CE loss Model/model.py:431-438); a complete framework also needs
+full fine-tuning. TPU-first design:
+
+- **Mixed precision**: keep fp32 master weights, cast to ``compute_dtype``
+  (bf16 on TPU) *inside* the differentiated function — autodiff through the
+  cast yields fp32 gradients w.r.t. the masters, the forward/backward matmuls
+  run on the MXU in bf16.
+- **Frozen subtrees** (``freeze_vision=True`` freezes the ViT tower — the
+  standard VLM recipe): frozen params are closed over, not differentiated, so
+  no gradient or optimizer memory is spent on them (vision grads are never
+  computed, not computed-then-masked).
+- **Sharded optimizer state for free**: under GSPMD the Adam moments inherit
+  the parameter shardings (``tx.init`` is elementwise over sharded arrays), so
+  a tp/dp-sharded model trains with tp/dp-sharded moments with no extra code —
+  verified in ``tests/test_full_train.py`` on the virtual mesh.
+- Composes with ``remat=True`` (scan-over-remat decoder) and
+  ``loss_chunk=N`` (chunked shifted-CE) for long-context training, same as
+  the LoRA path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama32mm_tpu.configs import MLLAMAConfig
+from llama32mm_tpu.models.vlm import vlm_forward
+
+FROZEN_KEYS_VISION = ("vision_model",)
+
+
+class FullTrainState(NamedTuple):
+    params: dict  # trainable tree (masters, typically fp32)
+    frozen: dict  # non-trainable subtrees ({} when everything trains)
+    opt_state: Any
+    step: jax.Array
+
+    def full_params(self) -> dict:
+        """Re-assemble the complete VLM param tree (inference/export)."""
+        return {**self.frozen, **self.params}
+
+
+def split_trainable(params: dict, freeze_vision: bool = False):
+    """Partition the top-level VLM tree into (trainable, frozen) dicts."""
+    frozen_keys = FROZEN_KEYS_VISION if freeze_vision else ()
+    trainable = {k: v for k, v in params.items() if k not in frozen_keys}
+    frozen = {k: v for k, v in params.items() if k in frozen_keys}
+    return trainable, frozen
+
+
+def make_train_step(
+    config: MLLAMAConfig,
+    learning_rate=1e-5,
+    weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    freeze_vision: bool = False,
+    compute_dtype: Optional[str] = None,
+    impl: str = "auto",
+    remat: bool = False,
+    loss_chunk: Optional[int] = None,
+):
+    """Build ``(init_state, train_step)`` for full fine-tuning.
+
+    ``train_step(state, batch, rng) -> (state, loss)`` differentiates every
+    non-frozen parameter with AdamW (+ global-norm clipping when
+    ``max_grad_norm`` is set). ``learning_rate`` may be a float or an optax
+    schedule. ``batch``: ``input_ids`` / ``labels`` (+ optional
+    ``pixel_values`` / ``attention_mask``), as in the LoRA path.
+    """
+    import optax
+
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(
+        optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    )
+    tx = optax.chain(*chain)
+    cdt = None if compute_dtype is None else jnp.dtype(compute_dtype)
+
+    def init_state(params: dict) -> FullTrainState:
+        # Call EAGERLY on (sharded) arrays: eager ``tx.init`` zeros inherit
+        # each param's NamedSharding, so the moments come up sharded like the
+        # model with no extra code. (Under jit the compiler would be free to
+        # re-shard the freshly created zeros.)
+        trainable, frozen = split_trainable(params, freeze_vision)
+        return FullTrainState(
+            params=trainable,
+            frozen=frozen,
+            opt_state=tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _cast(tree):
+        if cdt is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(cdt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
+    def loss_fn(trainable, frozen, batch, rng):
+        out = vlm_forward(
+            {**_cast(frozen), **_cast(trainable)},
+            config,
+            input_ids=batch["input_ids"],
+            pixel_values=batch.get("pixel_values"),
+            attention_mask=batch.get("attention_mask"),
+            labels=batch["labels"],
+            dropout_rng=rng,  # drives ViT attention dropout when enabled
+            impl=impl,
+            remat=remat,
+            loss_chunk=loss_chunk,
+        )
+        return out.loss
+
+    def train_step(state: FullTrainState, batch: dict, rng: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, state.frozen, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            FullTrainState(
+                params=params,
+                frozen=state.frozen,
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    return init_state, train_step
+
+
+# ---------------------------------------------------------------------------
+# Full train-state save/resume (params + moments + step). safetensors, one
+# tensor per tree leaf — mmap-friendly at scale (an 11B fp32 state is ~120 GB;
+# np.savez would hold it all in RAM, safetensors streams).
+# ---------------------------------------------------------------------------
+
+
+def _flatten_with_names(state: FullTrainState):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(state)
+    named = []
+    for path, leaf in leaves_with_path:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        named.append((name, leaf))
+    return named, treedef
+
+
+def save_full_train_state(path: str, state: FullTrainState) -> None:
+    """Persist masters + frozen tree + optimizer moments + step so full
+    fine-tuning resumes exactly. One safetensors file keyed by tree path.
+    (bf16 leaves round-trip through a uint16 view — safetensors.numpy has no
+    native ml_dtypes support.)"""
+    from safetensors.numpy import save_file
+
+    named, _ = _flatten_with_names(state)
+    out = {}
+    for name, leaf in named:
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+            arr = arr.view(np.uint16)
+            name = "bf16:" + name
+        out[name] = arr
+    save_file(out, path)
+
+
+def load_full_train_state(path: str, template: FullTrainState) -> FullTrainState:
+    """Restore a state saved by ``save_full_train_state``; ``template`` (a
+    fresh ``init_state(params)``) provides tree structure, dtypes, and — when
+    its arrays are sharded — the GSPMD placement (each loaded leaf is
+    device_put to the template leaf's sharding)."""
+    from safetensors import safe_open
+
+    named, treedef = _flatten_with_names(template)
+    loaded = []
+    with safe_open(path, framework="np") as f:
+        keys = set(f.keys())
+        for name, want in named:
+            key = name if name in keys else "bf16:" + name
+            if key not in keys:
+                raise KeyError(f"train-state file is missing leaf {name!r}")
+            arr = f.get_tensor(key)
+            if key.startswith("bf16:"):
+                arr = arr.view(np.dtype("bfloat16"))
+            if tuple(arr.shape) != tuple(jnp.shape(want)):
+                raise ValueError(
+                    f"train-state shape mismatch at {name}: "
+                    f"{tuple(jnp.shape(want))} vs {arr.shape}"
+                )
+            sharding = getattr(want, "sharding", None)
+            loaded.append(
+                jax.device_put(arr, sharding) if sharding is not None
+                else jnp.asarray(arr)
+            )
+    return jax.tree_util.tree_unflatten(treedef, loaded)

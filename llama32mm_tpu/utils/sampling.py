@@ -61,3 +61,55 @@ def select_next_token(
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
     return jax.random.categorical(rng, filter_logits(logits, temperature, top_p, top_k), axis=-1)
+
+
+def filter_logits_traced(
+    logits: jax.Array,  # [B, V]
+    temperature: jax.Array,  # [B] float
+    top_p: jax.Array,  # [B] float
+    top_k: jax.Array,  # [B] int
+) -> jax.Array:
+    """``filter_logits`` with TRACED per-row sampler settings — one compiled
+    program serves every (temperature, top_p, top_k) combination, so a
+    serving batch can mix per-request samplers (and changing settings never
+    recompiles). Same math as the static path: temperature-scale → kth-value
+    top-k mask → exclusive-cumsum top-p mask. ``top_k <= 0`` disables top-k;
+    ``top_p >= 1`` disables top-p. Rows with ``temperature <= 0`` get a safe
+    divisor (callers pick argmax for those rows instead)."""
+    V = logits.shape[-1]
+    t = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
+    logits = logits.astype(jnp.float32) / t
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    k = jnp.clip(top_k, 1, V).astype(jnp.int32)
+    kth_val = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    apply_k = (top_k > 0)[:, None]
+    logits = jnp.where(apply_k & (logits < kth_val), neg_inf, logits)
+
+    # top-p over the k-masked logits (the static path sorts post-mask too)
+    order = jnp.argsort(logits, axis=-1)[..., ::-1]
+    sorted2 = jnp.take_along_axis(logits, order, axis=-1)
+    probs = jax.nn.softmax(sorted2, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    drop = ((cum - probs) > top_p[:, None]) & (top_p < 1.0)[:, None]
+    sorted2 = jnp.where(drop, neg_inf, sorted2)
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(sorted2, inv, axis=-1)
+
+
+def select_next_token_traced(
+    logits: jax.Array,  # [B, V]
+    rng: jax.Array,
+    temperature: jax.Array,  # [B]
+    top_p: jax.Array,  # [B]
+    top_k: jax.Array,  # [B]
+) -> jax.Array:
+    """Per-row sampling with traced settings: rows with ``temperature <= 0``
+    take the argmax (greedy — bit-equal to the static path), the rest sample
+    from the filtered distribution. One ``rng`` serves the whole batch
+    (categorical draws independent gumbel noise per row)."""
+    greedy = jnp.argmax(logits, axis=-1)
+    filt = filter_logits_traced(logits, temperature, top_p, top_k)
+    sampled = jax.random.categorical(rng, filt, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy, sampled)

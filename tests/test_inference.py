@@ -177,3 +177,42 @@ def test_filter_logits_matches_reference_rule():
     np.testing.assert_array_equal(np.isfinite(got), finite_mask)
     np.testing.assert_allclose(got[finite_mask], expected[finite_mask], atol=1e-5)
 
+
+
+def test_traced_sampler_matches_static():
+    """filter_logits_traced/select_next_token_traced (per-row traced settings,
+    one executable for any sampler mix) must reproduce the static path."""
+    from llama32mm_tpu.utils.sampling import (
+        filter_logits_traced,
+        select_next_token_traced,
+    )
+
+    rng = jax.random.PRNGKey(7)
+    logits = jax.random.normal(rng, (4, 64)) * 3.0
+    cases = [(0.7, 0.9, 50), (1.3, 0.7, 5), (0.5, 1.0, 0), (2.0, 0.3, 64)]
+    for i, (t, p, k) in enumerate(cases):
+        want = np.asarray(filter_logits(logits[i][None], t, p, k))
+        got = np.asarray(filter_logits_traced(
+            logits[i][None],
+            jnp.asarray([t], jnp.float32),
+            jnp.asarray([p], jnp.float32),
+            jnp.asarray([k], jnp.int32),
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6, err_msg=str(i))
+
+    # one traced call over a batch mixing all four settings == per-row static
+    ts, ps, ks = (jnp.asarray(x) for x in zip(*cases))
+    key = jax.random.PRNGKey(3)
+    mixed = select_next_token_traced(
+        logits, key, ts.astype(jnp.float32), ps.astype(jnp.float32),
+        ks.astype(jnp.int32),
+    )
+    assert mixed.shape == (4,) and all(0 <= int(x) < 64 for x in mixed)
+    # greedy rows are bit-equal to argmax regardless of the other rows
+    greedy_mix = select_next_token_traced(
+        logits, key, jnp.asarray([0.0, 1.3, 0.0, 2.0], jnp.float32),
+        ps.astype(jnp.float32), ks.astype(jnp.int32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(greedy_mix)[[0, 2]], np.argmax(np.asarray(logits), -1)[[0, 2]]
+    )

@@ -254,3 +254,41 @@ def test_warmup_is_noop_mid_serving(tiny):
     np.testing.assert_array_equal(
         results[rid], _engine_tokens(cfg, params, ids, None, 6, (16,))
     )
+
+
+def test_per_request_sampling(tiny):
+    """A batch mixing greedy and sampled requests: greedy rows stay token
+    equal to the offline engine; sampled rows are reproducible for a fixed
+    server rng and differ from greedy; no extra executables are compiled for
+    new sampler settings (they are traced arguments)."""
+    cfg, params = tiny
+
+    def make():
+        return ContinuousBatchingServer(
+            params, cfg, slots=2, max_cache_length=64, prompt_buckets=(16,),
+            steps_per_sync=2, eos_token_id=-1, rng=jax.random.PRNGKey(7),
+        )
+
+    ids = jax.random.randint(jax.random.PRNGKey(30), (1, 10), 0, cfg.vocab_size - 10)
+    srv = make()
+    g = srv.submit(ids[0], None, max_new_tokens=8)  # default greedy
+    s = srv.submit(ids[0], None, max_new_tokens=8, temperature=0.8, top_k=10)
+    res = srv.run()
+    n_exec = len(srv._decode_jit)
+    np.testing.assert_array_equal(
+        res[g], _engine_tokens(cfg, params, ids, None, 8, (16,))
+    )
+    assert not np.array_equal(res[s], res[g])  # sampled row deviates
+    # reproducible under the same server rng
+    srv2 = make()
+    g2 = srv2.submit(ids[0], None, max_new_tokens=8)
+    s2 = srv2.submit(ids[0], None, max_new_tokens=8, temperature=0.8, top_k=10)
+    res2 = srv2.run()
+    np.testing.assert_array_equal(res[s], res2[s2])
+    # a third sampler setting reuses the same executables
+    srv3 = make()
+    srv3._decode_jit = srv._decode_jit
+    srv3._prefill_jit = srv._prefill_jit
+    srv3.submit(ids[0], None, max_new_tokens=4, temperature=1.7, top_p=0.5, top_k=3)
+    srv3.run()
+    assert len(srv3._decode_jit) == n_exec
