@@ -217,6 +217,7 @@ class ContinuousBatchingServer:
         self._by_slot: list[Optional[_Request]] = [None] * slots
         self._slot_adapter = [0] * slots  # adapter index per slot (bank mode)
         self._slot_sampler = [self.sampler] * slots  # (T, p, k) per slot
+        self._slot_samp_cache = None  # device copies of ^, rebuilt on admission
         self._results: dict[int, _Request] = {}
         self._next_id = 0
         self._prefill_jit = {}
@@ -250,12 +251,16 @@ class ContinuousBatchingServer:
         )
 
     def _slot_samp_args(self):
-        """Per-slot sampler settings as traced [B]-arrays for decode."""
-        return (
-            jnp.asarray([s[0] for s in self._slot_sampler], jnp.float32),
-            jnp.asarray([s[1] for s in self._slot_sampler], jnp.float32),
-            jnp.asarray([s[2] for s in self._slot_sampler], jnp.int32),
-        )
+        """Per-slot sampler settings as traced [B]-arrays for decode. Cached:
+        they only change at admission, and rebuilding them was 3 host→device
+        transfers per decode chunk (costly on tunneled backends)."""
+        if self._slot_samp_cache is None:
+            self._slot_samp_cache = (
+                jnp.asarray([s[0] for s in self._slot_sampler], jnp.float32),
+                jnp.asarray([s[1] for s in self._slot_sampler], jnp.float32),
+                jnp.asarray([s[2] for s in self._slot_sampler], jnp.int32),
+            )
+        return self._slot_samp_cache
 
     def _make_prefill(self, bucket: int, use_image: bool):
         cfg = self.config
@@ -695,6 +700,7 @@ class ContinuousBatchingServer:
             self._by_slot[slot] = req
             self._slot_adapter[slot] = req.adapter_id
             self._slot_sampler[slot] = req.sampler
+            self._slot_samp_cache = None
             self._inflight = None
             first = int(np.asarray(self.state.last_token[slot]))
             self._emit(req, [first])
@@ -913,6 +919,7 @@ class ContinuousBatchingServer:
         self._by_slot[slot] = req
         self._slot_adapter[slot] = req.adapter_id
         self._slot_sampler[slot] = req.sampler
+        self._slot_samp_cache = None
         # The prefill's sampled token is the request's first generated token.
         first = int(np.asarray(self.state.last_token[slot]))
         self._emit(req, [first])

@@ -143,8 +143,10 @@ def make_train_step(
 
 # ---------------------------------------------------------------------------
 # Full train-state save/resume (params + moments + step). safetensors, one
-# tensor per tree leaf — mmap-friendly at scale (an 11B fp32 state is ~120 GB;
-# np.savez would hold it all in RAM, safetensors streams).
+# tensor per tree leaf. The format is mmap-friendly on LOAD (resume reads
+# leaves lazily); the save path still materializes every leaf on host before
+# writing — at 11B-fp32 scale (~120 GB) use io/checkpoint.py's sharded writer
+# for the params and keep optimizer state sharded across hosts instead.
 # ---------------------------------------------------------------------------
 
 
@@ -197,6 +199,14 @@ def load_full_train_state(path: str, template: FullTrainState) -> FullTrainState
                 raise ValueError(
                     f"train-state shape mismatch at {name}: "
                     f"{tuple(jnp.shape(want))} vs {arr.shape}"
+                )
+            want_dtype = jnp.asarray(want).dtype if not hasattr(want, "dtype") else want.dtype
+            if arr.dtype != want_dtype:
+                # e.g. bf16-master checkpoint resumed into an fp32-master
+                # template: shapes match, precision silently wrong without this
+                raise ValueError(
+                    f"train-state dtype mismatch at {name}: template expects "
+                    f"{want_dtype}, file has {arr.dtype}"
                 )
             sharding = getattr(want, "sharding", None)
             loaded.append(
