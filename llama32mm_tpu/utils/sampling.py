@@ -108,8 +108,19 @@ def select_next_token_traced(
     """Per-row sampling with traced settings: rows with ``temperature <= 0``
     take the argmax (greedy — bit-equal to the static path), the rest sample
     from the filtered distribution. One ``rng`` serves the whole batch
-    (categorical draws independent gumbel noise per row)."""
+    (categorical draws independent gumbel noise per row).
+
+    The filter sorts the full vocab ([B, 128k]) — expensive per decode step —
+    so an all-greedy batch skips it through a runtime ``lax.cond`` (measured:
+    unconditional filtering halved 4-slot greedy serving throughput, 223 →
+    118 tok/s aggregate; still ONE executable for any settings mix)."""
     greedy = jnp.argmax(logits, axis=-1)
-    filt = filter_logits_traced(logits, temperature, top_p, top_k)
-    sampled = jax.random.categorical(rng, filt, axis=-1)
-    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+    def _sample(_):
+        filt = filter_logits_traced(logits, temperature, top_p, top_k)
+        sampled = jax.random.categorical(rng, filt, axis=-1)
+        return jnp.where(temperature <= 0.0, greedy, sampled)
+
+    return jax.lax.cond(
+        jnp.all(temperature <= 0.0), lambda _: greedy, _sample, operand=None
+    )

@@ -47,7 +47,10 @@ def main():
     sps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
     tc = cfg.text_config
-    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    # one jitted dispatch: eager per-leaf init is a tunneled round trip per
+    # leaf (see bench.py)
+    params = jax.jit(lambda k: init_vlm_params(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
 
     prompts = []
     for i in range(slots):
