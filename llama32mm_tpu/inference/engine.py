@@ -381,8 +381,12 @@ class InferenceEngine:
         else:
             attention_mask = jnp.asarray(attention_mask)
         # Bucket the prompt to a static length (compile reuse; positions stay
-        # exact because decode continues from the true length).
-        s_b = self._bucketed_len(s, max_new_tokens)
+        # exact because decode continues from the true length). Spec decoding
+        # needs K extra cache slots past the budget (the final verify writes
+        # K+1 entries) — without reserving them here, auto-bucketing could pad
+        # into that headroom and the capacity check below would spuriously
+        # reject a prompt that fits unbucketed.
+        s_b = self._bucketed_len(s, max_new_tokens + self.spec_lookup)
         if s_b != s:
             input_ids = jnp.pad(input_ids, ((0, 0), (0, s_b - s)))
             attention_mask = jnp.pad(attention_mask, ((0, 0), (0, s_b - s)))

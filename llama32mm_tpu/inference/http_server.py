@@ -144,8 +144,13 @@ class ServingFrontend:
             self.srv.drop_prefix(prefix_id)
 
     def cancel(self, rid: int) -> bool:
+        """Cancel a live request; on an already-finished one, evict its
+        result record instead (DELETE /request/<id> doubles as cleanup for
+        long-running servers)."""
         with self._lock:
             ok = self.srv.cancel(rid)
+            if not ok:
+                self.srv.release(rid)
         ev = self._done_events.pop(rid, None)
         if ev is not None:
             ev.set()  # release any /generate waiter

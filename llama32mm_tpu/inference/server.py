@@ -701,6 +701,7 @@ class ContinuousBatchingServer:
             self._slot_adapter[slot] = req.adapter_id
             self._slot_sampler[slot] = req.sampler
             self._slot_samp_cache = None
+            self._drop_payload(req)
             self._inflight = None
             first = int(np.asarray(self.state.last_token[slot]))
             self._emit(req, [first])
@@ -920,6 +921,7 @@ class ContinuousBatchingServer:
         self._slot_adapter[slot] = req.adapter_id
         self._slot_sampler[slot] = req.sampler
         self._slot_samp_cache = None
+        self._drop_payload(req)
         # The prefill's sampled token is the request's first generated token.
         first = int(np.asarray(self.state.last_token[slot]))
         self._emit(req, [first])
@@ -932,8 +934,39 @@ class ContinuousBatchingServer:
             if t == self.eos_token_id or len(req.tokens) >= req.max_new_tokens:
                 req.finished = True
         if req.finished and req.slot is not None:
-            self._by_slot[req.slot] = None
-            req.slot = None
+            self._free_slot(req)
+
+    @staticmethod
+    def _drop_payload(req: _Request) -> None:
+        # Admission copied the prompt into the slot cache (and the image to
+        # device); holding the host arrays afterwards leaks ~MBs per vision
+        # request for the lifetime of _results.
+        req.input_ids = None
+        req.pixel_values = None
+
+    def release(self, rid: int) -> bool:
+        """Evict a FINISHED request's record (tokens included) from the
+        results table — long-running servers call this after delivering the
+        result, otherwise the table grows per request forever. Returns False
+        (and keeps the record) while the request is still queued/running —
+        use ``cancel`` for those."""
+        req = self._results.get(rid)
+        if req is None:
+            return True
+        if not req.finished:
+            return False
+        del self._results[rid]
+        return True
+
+    def _free_slot(self, req: _Request) -> None:
+        self._by_slot[req.slot] = None
+        # Reset the freed slot's sampler to greedy: a stale temperature>0
+        # would keep defeating the all-greedy lax.cond fast path (full-vocab
+        # sort every step — the measured 223→118 tok/s regression) for as
+        # long as the slot sits idle.
+        self._slot_sampler[req.slot] = (0.0, self.sampler[1], self.sampler[2])
+        self._slot_samp_cache = None
+        req.slot = None
 
     def step(self) -> list[int]:
         """Admit pending requests into free slots (one prefill chunk's worth
@@ -978,12 +1011,21 @@ class ContinuousBatchingServer:
                 _, toks, counts = self._dispatch_decode(n, active_rows)
                 for slot, req in enumerate(self._by_slot):
                     if req is not None:
-                        out = []
+                        # Emit per verify-step so acceptance stats count only
+                        # tokens the request actually keeps: steps after its
+                        # EOS/budget produce commits _emit discards, and
+                        # counting those would skew spec_tokens_per_step for
+                        # anyone tuning spec_lookup from stats().
                         for i in range(toks.shape[1]):
-                            out.extend(int(t) for t in toks[slot, i, : counts[slot, i]])
-                        self._spec_steps += toks.shape[1]
-                        self._spec_tokens += len(out)
-                        self._emit(req, out)
+                            if req.finished:
+                                break
+                            step_out = [
+                                int(t) for t in toks[slot, i, : counts[slot, i]]
+                            ]
+                            kept_before = len(req.tokens)
+                            self._emit(req, step_out)
+                            self._spec_steps += 1
+                            self._spec_tokens += len(req.tokens) - kept_before
             else:
                 n = self._chunk_steps(remaining)
                 toks, _, _ = self._dispatch_decode(n, active_rows)
@@ -1063,8 +1105,7 @@ class ContinuousBatchingServer:
             return False
         req.finished = True
         if req.slot is not None:
-            self._by_slot[req.slot] = None
-            req.slot = None
+            self._free_slot(req)
         elif self._inflight is not None and self._inflight["req"] is req:
             self._inflight = None
         else:

@@ -292,3 +292,29 @@ def test_per_request_sampling(tiny):
     srv3.submit(ids[0], None, max_new_tokens=4, temperature=1.7, top_p=0.5, top_k=3)
     srv3.run()
     assert len(srv3._decode_jit) == n_exec
+
+
+def test_slot_hygiene_on_free_and_release(tiny):
+    """Freed slots return to greedy sampler settings (a stale temperature>0
+    would permanently defeat the all-greedy decode fast path), request
+    payloads (prompt/image host arrays) are dropped at admission, and
+    release() evicts only finished records."""
+    cfg, params = tiny
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=(16,),
+        steps_per_sync=2, eos_token_id=-1, rng=jax.random.PRNGKey(7),
+    )
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    rid = srv.submit(_prompt(cfg, 10, 3)[0], px[0], max_new_tokens=4,
+                     temperature=0.9)
+    req = srv._results[rid]
+    srv.step()  # admission happens here
+    assert req.input_ids is None and req.pixel_values is None
+    srv.run()
+    assert all(s[0] == 0.0 for s in srv._slot_sampler)
+    assert srv.release(rid) and rid not in srv._results
+    ids = jax.random.randint(jax.random.PRNGKey(31), (1, 10), 0, cfg.vocab_size - 10)
+    rid2 = srv.submit(ids[0], None, max_new_tokens=4)
+    assert not srv.release(rid2)  # still queued/running: refused
+    srv.run()
+    assert srv.release(rid2) and rid2 not in srv._results

@@ -111,3 +111,25 @@ def test_spec_validation(tiny):
     ids = np.arange(10, dtype=np.int32)
     with pytest.raises(ValueError, match="spec headroom"):
         srv.submit(ids, None, max_new_tokens=64 - 10 - 2)  # K=4 headroom missing
+
+
+def test_spec_stats_count_only_kept_tokens(tiny):
+    """spec_tokens_per_step must reflect tokens requests actually kept:
+    verify steps after a request's budget/EOS produce commits _emit discards,
+    which previously inflated the acceptance stat."""
+    cfg, params = tiny
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=96, prompt_buckets=(16,),
+        steps_per_sync=4, eos_token_id=-1, spec_lookup=2,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(40), (1, 9), 0, cfg.vocab_size - 10)
+    # max_new=5 is NOT a multiple of the (K+1)=3 commits/step: the final
+    # chunk overshoots and the overshoot must not be counted
+    r1 = srv.submit(ids[0], None, max_new_tokens=5)
+    r2 = srv.submit(ids[0], None, max_new_tokens=7)
+    res = srv.run()
+    # each request's FIRST token is sampled by the admission prefill, not a
+    # spec verify step — decode-committed tokens are the rest
+    kept = (len(res[r1]) - 1) + (len(res[r2]) - 1)
+    assert srv._spec_tokens == kept, (srv._spec_tokens, kept)
+    assert 0 < srv.stats()["spec_tokens_per_step"] <= srv.spec_lookup + 1

@@ -113,3 +113,25 @@ def test_spec_composes_with_int8_serving(tiny):
     res_s = eng_s.generate(ids, px, max_new_tokens=20, temperature=0.0, eos_token_id=-1)
     got = np.asarray(res_s.tokens)[0, : int(res_s.num_generated[0])]
     np.testing.assert_array_equal(got, want)
+
+
+def test_spec_auto_bucket_reserves_headroom(tiny):
+    """Auto-bucketing must leave spec_lookup slots of cache headroom: a
+    prompt that fits unbucketed (s + max_new + K <= cache) must not be
+    rejected after padding (regression: _bucketed_len was called without the
+    +K, padding into the verify-write headroom)."""
+    cfg, params = tiny
+    cache, max_new, K = 128, 6, 2
+    s = cache - max_new - K  # fits exactly unbucketed
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, s), 0, cfg.vocab_size - 10)
+    eng = InferenceEngine(
+        params, cfg, max_cache_length=cache, spec_lookup=K, prompt_buckets="auto"
+    )
+    res = eng.generate(ids, None, max_new_tokens=max_new, temperature=0.0,
+                       eos_token_id=-1)
+    got = np.asarray(res.tokens)[0, : int(res.num_generated[0])]
+    ref = InferenceEngine(params, cfg, max_cache_length=cache).generate(
+        ids, None, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1
+    )
+    want = np.asarray(ref.tokens)[0, : int(ref.num_generated[0])]
+    np.testing.assert_array_equal(got, want)
