@@ -132,13 +132,14 @@ def make_inputs(cfg, seed=1):
 
 
 def timed_median(fn, reps):
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    ts = np.asarray(ts)
-    return float(np.percentile(ts, 50)), ts
+    """Median wall time over ``reps`` runs through the shared profiling Timer
+    (``utils/profiling.py``). The fns benched here sync internally (they end
+    in ``np.asarray`` of device output), so the Timer's sync is identity."""
+    from llama32mm_tpu.utils.profiling import Timer
+
+    timer = Timer(sync=lambda out: out)
+    med = timer.measure("bench", fn, warmup=0, iters=reps)
+    return med, np.asarray(timer.records["bench"])
 
 
 def engine_decode_rate(engine, ids, px, reps=REPS, max_new=MAX_NEW, short=SHORT_NEW):
@@ -198,6 +199,18 @@ def _progress(msg: str) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="llama32mm-tpu benchmark")
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of one warm short generate into "
+        "DIR (TensorBoard-loadable; phases named via jax.named_scope: "
+        "vision_encode / mm_projector / image_splice / decoder / prefill / "
+        "decode_step)",
+    )
+    args, _ = ap.parse_known_args()
+
     backend = jax.default_backend()
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "unknown").lower()
@@ -236,6 +249,15 @@ def main() -> None:
                 eos_token_id=-1, rng=jax.random.PRNGKey(0),
             ).tokens
         )
+
+    if args.trace:
+        from llama32mm_tpu.utils.profiling import trace
+
+        _progress(f"capturing profiler trace into {args.trace}")
+        run(SHORT_NEW)  # compile + warm outside the trace window
+        with trace(args.trace):
+            run(SHORT_NEW)
+        _progress("trace captured (load with: tensorboard --logdir <DIR>)")
 
     # Warmup / compile TTFT program, then measure (preprocess + prefill +
     # first token in one program).

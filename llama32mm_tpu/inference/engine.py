@@ -187,16 +187,17 @@ class InferenceEngine:
             # lm_head computed only at last_pos — the full [B, S, vocab]
             # prefill logits are never formed (TTFT: saves the S×V matmul +
             # its HBM write).
-            out = vlm_forward(
-                params,
-                cfg,
-                input_ids=input_ids,
-                pixel_values=pixel_values if use_image else None,
-                attention_mask=prefill_mask,
-                kv_cache=cache,
-                impl=impl,
-                logits_positions=last_pos[:, None],
-            )
+            with jax.named_scope("prefill"):
+                out = vlm_forward(
+                    params,
+                    cfg,
+                    input_ids=input_ids,
+                    pixel_values=pixel_values if use_image else None,
+                    attention_mask=prefill_mask,
+                    kv_cache=cache,
+                    impl=impl,
+                    logits_positions=last_pos[:, None],
+                )
             pre_logits = out.logits[:, 0]  # [B, V]
 
             rng, step_rng = jax.random.split(rng)
@@ -220,15 +221,16 @@ class InferenceEngine:
                 cur_total = s + i
                 mask = structured_decode_mask(padding_mask, cur_total, max_len)
                 pos = (true_len + (i - 1))[:, None].astype(jnp.int32)
-                step_out = vlm_forward(
-                    params,
-                    cfg,
-                    input_ids=last[:, None].astype(jnp.int32),
-                    attention_mask=mask,
-                    position_ids=pos,
-                    kv_cache=cache,
-                    impl=impl,
-                )
+                with jax.named_scope("decode_step"):
+                    step_out = vlm_forward(
+                        params,
+                        cfg,
+                        input_ids=last[:, None].astype(jnp.int32),
+                        attention_mask=mask,
+                        position_ids=pos,
+                        kv_cache=cache,
+                        impl=impl,
+                    )
                 rng, step_rng = jax.random.split(rng)
                 nxt = select_next_token(
                     step_out.logits[:, -1], step_rng, temperature, top_p, top_k
@@ -245,25 +247,36 @@ class InferenceEngine:
 
         return jax.jit(generate_fn)
 
-    def _make_generate_spec(self, max_new_tokens, eos_token_id, use_image):
-        """Prompt-lookup speculative decode (greedy, batch-1).
+    def _make_generate_spec(self, max_new_tokens, temperature, top_p, top_k,
+                            eos_token_id, use_image):
+        """Prompt-lookup speculative decode (batch-1).
 
         Each iteration drafts ``K = spec_lookup`` tokens by bigram match
         against the true token history and verifies them in one
         ``(K+1)``-token forward. A decode step streams the same weights/KV
         regardless of its (tiny) query count, so accepted drafts are nearly
         free tokens; rejected drafts cost nothing but the extra FLOPs.
-        Greedy-exact: committed tokens are always the model's own argmax.
+        Verification is rejection sampling
+        (``utils/sampling.py::spec_verify_tokens``): greedy (T=0) is
+        bit-exact argmax; T>0 commits tokens EXACTLY distributed per the
+        sampler settings — speculation never changes the distribution.
         Cache bookkeeping: the K+1 entries land at slots ``pos..pos+K``;
         entries past the accepted prefix are stale but stay masked
         (``kv_valid`` gates on committed length) until overwritten by the
         next iteration's write at ``pos + n_commit``."""
+        from llama32mm_tpu.utils.sampling import spec_verify_tokens
+
         cfg = self.config
         tc = cfg.text_config
         max_len = self.max_cache_length
         impl = self.impl
         kv_dtype = self.kv_dtype
         K = self.spec_lookup
+        samp = (
+            jnp.asarray([temperature], jnp.float32),
+            jnp.asarray([top_p], jnp.float32),
+            jnp.asarray([top_k], jnp.int32),
+        )
 
         def generate_fn(params, input_ids, pixel_values, padding_mask, rng):
             b, s = input_ids.shape  # b == 1 (enforced by generate())
@@ -279,7 +292,10 @@ class InferenceEngine:
                 logits_positions=(true_len - 1)[:, None],
             )
             pre_logits = out.logits[:, 0]
-            first = jnp.argmax(pre_logits, axis=-1).astype(jnp.int32)  # [1]
+            rng, first_rng = jax.random.split(rng)
+            first = select_next_token(
+                pre_logits, first_rng, temperature, top_p, top_k
+            ).astype(jnp.int32)  # [1]
 
             tl = true_len[0]
             L = s + max_new_tokens
@@ -300,11 +316,12 @@ class InferenceEngine:
             )
 
             def cond(st):
-                tokens, done, count, steps, cache, seq = st
+                tokens, done, count, steps, cache, seq, rng = st
                 return (count < max_new_tokens) & (~done[0])
 
             def body(st):
-                tokens, done, count, steps, cache, seq = st
+                tokens, done, count, steps, cache, seq, rng = st
+                rng, step_rng = jax.random.split(rng)
                 last_at = tl + count - 1  # seq index of the last committed token
                 last_tok = seq[last_at]
 
@@ -331,11 +348,14 @@ class InferenceEngine:
                     position_ids=pos, kv_cache=cache._replace(pos=p_slot),
                     impl=impl,
                 )
-                nxt = jnp.argmax(step_out.logits[0], axis=-1).astype(jnp.int32)  # [K+1]
+                nxt_b, acc_bit = spec_verify_tokens(
+                    step_out.logits, drafts[None], step_rng, *samp
+                )
+                nxt = nxt_b[0]  # [K+1]
 
                 # Longest accepted draft prefix, +1 bonus token; clamp to the
                 # remaining budget and cut at the first committed eos.
-                acc = jnp.cumprod((drafts == nxt[:K]).astype(jnp.int32))
+                acc = jnp.cumprod(acc_bit[0].astype(jnp.int32))
                 n_commit = jnp.minimum(jnp.sum(acc) + 1, max_new_tokens - count)
                 j = jnp.arange(K + 1)
                 eos_hit = (j < n_commit) & (nxt == eos_token_id)
@@ -351,10 +371,10 @@ class InferenceEngine:
 
                 done = done | jnp.any(eos_hit)[None]
                 return (tokens, done, count + n_commit, steps + 1,
-                        step_out.kv_cache, seq)
+                        step_out.kv_cache, seq, rng)
 
-            st = (tokens0, done0, count0, steps0, out.kv_cache, seq0)
-            tokens, done, count, steps, _, _ = jax.lax.while_loop(cond, body, st)
+            st = (tokens0, done0, count0, steps0, out.kv_cache, seq0, rng)
+            tokens, done, count, steps, _, _, _ = jax.lax.while_loop(cond, body, st)
             return GenerateResult(
                 tokens=tokens, num_generated=count[None], prefill_logits=pre_logits,
                 steps=steps,
@@ -399,11 +419,6 @@ class InferenceEngine:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         use_image = pixel_values is not None
         if self.spec_lookup > 0:
-            if temperature != 0.0:
-                raise ValueError(
-                    "spec_lookup decoding is greedy-only (temperature=0.0); "
-                    "sampling would need rejection resampling to stay exact"
-                )
             if b != 1:
                 raise ValueError("spec_lookup decoding supports batch size 1")
             if s + max_new_tokens + self.spec_lookup > self.max_cache_length:
@@ -416,7 +431,8 @@ class InferenceEngine:
                     f"prompt ({s}) + max_new_tokens ({max_new_tokens}) + K > "
                     f"capacity {self.max_cache_length}"
                 )
-            key = ("spec", max_new_tokens, eos_token_id, use_image)
+            key = ("spec", max_new_tokens, temperature, top_p, top_k,
+                   eos_token_id, use_image)
             if key not in self._generate_jit:
                 self._generate_jit[key] = self._make_generate_spec(*key[1:])
         else:

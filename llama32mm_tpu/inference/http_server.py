@@ -25,7 +25,15 @@ module is that process:
   ``data: {"finished": true, ...}`` event);
 - ``DELETE /request/<rid>`` — cancel a queued or running request;
 - ``"adapter_id": i`` in any submit body selects a LoRA from the server's
-  adapter bank (multi-LoRA serving).
+  adapter bank (multi-LoRA serving);
+- ``"timeout_s": t`` in any submit body sets a per-request deadline — a
+  request still queued or decoding after ``t`` seconds finishes early with
+  ``"timed_out": true`` in its result;
+- backpressure: the admission queue is bounded (``--max-queue``); a full
+  queue answers 429 instead of growing host memory silently;
+- an SSE client that disconnects mid-stream has its request cancelled;
+- shutdown drains: new submissions are refused (429) while in-flight
+  requests run to completion.
 
 All scheduler access is serialized by one lock (the compiled programs do the
 heavy lifting on device; the lock is held for host-side bookkeeping plus one
@@ -40,10 +48,13 @@ from __future__ import annotations
 import argparse
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+from llama32mm_tpu.inference.server import QueueFullError
 
 
 class ServingFrontend:
@@ -57,6 +68,7 @@ class ServingFrontend:
         self._work = threading.Event()
         self._done_events: dict[int, threading.Event] = {}
         self._stop = False
+        self._draining = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -82,12 +94,16 @@ class ServingFrontend:
 
     def submit(self, input_ids, pixel_values, max_new_tokens: int,
                prefix_id: Optional[int] = None, adapter_id: int = 0,
-               temperature=None, top_p=None, top_k=None) -> int:
+               temperature=None, top_p=None, top_k=None,
+               timeout_s: Optional[float] = None) -> int:
         with self._lock:
+            if self._draining:
+                raise QueueFullError("server is draining — not accepting requests")
             rid = self.srv.submit(
                 input_ids, pixel_values, max_new_tokens,
                 prefix_id=prefix_id, adapter_id=adapter_id,
                 temperature=temperature, top_p=top_p, top_k=top_k,
+                timeout_s=timeout_s,
             )
             self._done_events[rid] = threading.Event()
         self._work.set()
@@ -110,6 +126,14 @@ class ServingFrontend:
             if self.tokenizer is None:
                 raise ValueError("server has no tokenizer — send input_ids")
             text = (getattr(self.tokenizer, "bos_token", None) or "") + prompt
+            # BOS is prepended manually above, so suppress the tokenizer's own
+            # auto-BOS here rather than relying on MllamaImageProcessor having
+            # set add_bos_token=False at construction (a frontend built with a
+            # tokenizer but no processor would otherwise double-add BOS).
+            if hasattr(self.tokenizer, "add_bos_token"):
+                self.tokenizer.add_bos_token = False
+            if hasattr(self.tokenizer, "add_eos_token"):
+                self.tokenizer.add_eos_token = False
             ids = self.tokenizer(
                 [text], return_tensors="np", padding=True, truncation=False
             )["input_ids"][0]
@@ -128,9 +152,11 @@ class ServingFrontend:
             np.asarray(out["pixel_values"][0], np.float32),
         )
 
-    def register_prefix(self, input_ids, pixel_values=None) -> int:
+    def register_prefix(self, input_ids, pixel_values=None, adapter_id: int = 0) -> int:
         with self._lock:
-            return self.srv.register_prefix(input_ids, pixel_values)
+            return self.srv.register_prefix(
+                input_ids, pixel_values, adapter_id=adapter_id
+            )
 
     def tokens_so_far(self, rid: int) -> tuple[list, bool]:
         with self._lock:
@@ -166,7 +192,11 @@ class ServingFrontend:
         with self._lock:
             toks = [int(t) for t in self.srv.tokens_so_far(rid)]
             fin = self.srv.is_finished(rid)
+            req = self.srv._results.get(rid)
+            timed_out = bool(req is not None and req.timed_out)
         out = {"request_id": rid, "finished": fin, "tokens": toks}
+        if timed_out:
+            out["timed_out"] = True
         if fin and self.tokenizer is not None:
             out["text"] = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         return out
@@ -175,7 +205,28 @@ class ServingFrontend:
         with self._lock:
             return self.srv.stats()
 
-    def shutdown(self):
+    def drain(self, timeout: Optional[float] = 30.0) -> bool:
+        """Graceful drain: stop accepting new submissions (subsequent
+        ``submit`` raises QueueFullError) and wait for everything queued or
+        decoding to finish. Returns True if fully drained within
+        ``timeout`` seconds (None = wait forever)."""
+        with self._lock:
+            self._draining = True
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._lock:
+                if not self._pending():
+                    return True
+            if deadline is not None and time.monotonic() >= deadline:
+                return False
+            self._work.set()
+            time.sleep(0.02)
+
+    def shutdown(self, drain: bool = False, drain_timeout: Optional[float] = 30.0):
+        """Stop the scheduler thread. ``drain=True`` first refuses new work
+        and lets in-flight requests finish (bounded by ``drain_timeout``)."""
+        if drain:
+            self.drain(drain_timeout)
         self._stop = True
         self._work.set()
         self._thread.join(timeout=5)
@@ -202,25 +253,30 @@ def make_handler(frontend: ServingFrontend):
             """Stream a request's tokens as server-sent events: one
             ``data: {"request_id", "tokens": [...newly decoded...]}`` event
             per scheduler sync, then a final event with ``finished: true``
-            and the decoded text (if a tokenizer is attached)."""
+            and the decoded text (if a tokenizer is attached). A client that
+            disconnects mid-stream gets its request CANCELLED — a vanished
+            consumer must not keep a decode slot busy to budget."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             sent = 0
-            while True:
-                done = frontend.wait(rid, timeout=0.02)
-                toks, fin = frontend.tokens_so_far(rid)
-                if len(toks) > sent:
-                    ev = {"request_id": rid, "tokens": toks[sent:]}
-                    self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
-                    self.wfile.flush()
-                    sent = len(toks)
-                if fin or done:
-                    final = frontend.result(rid)
-                    self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
-                    self.wfile.flush()
-                    return
+            try:
+                while True:
+                    done = frontend.wait(rid, timeout=0.02)
+                    toks, fin = frontend.tokens_so_far(rid)
+                    if len(toks) > sent:
+                        ev = {"request_id": rid, "tokens": toks[sent:]}
+                        self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                        self.wfile.flush()
+                        sent = len(toks)
+                    if fin or done:
+                        final = frontend.result(rid)
+                        self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
+                        self.wfile.flush()
+                        return
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                frontend.cancel(rid)  # reclaim the slot / dequeue
 
         def do_GET(self):
             try:
@@ -240,17 +296,21 @@ def make_handler(frontend: ServingFrontend):
                 req = self._read_body()
                 ids, px = frontend.encode_request(req)
                 if self.path == "/prefix":
-                    pid = frontend.register_prefix(ids, px)
+                    pid = frontend.register_prefix(
+                        ids, px, adapter_id=int(req.get("adapter_id", 0))
+                    )
                     return self._json(200, {"prefix_id": pid})
                 mnt = int(req.get("max_new_tokens", 64))
                 pfx = req.get("prefix_id")
                 pfx = None if pfx is None else int(pfx)
+                tmo = req.get("timeout_s")
                 kw = dict(
                     prefix_id=pfx,
                     adapter_id=int(req.get("adapter_id", 0)),
                     temperature=req.get("temperature"),
                     top_p=req.get("top_p"),
                     top_k=req.get("top_k"),
+                    timeout_s=None if tmo is None else float(tmo),
                 )
                 if self.path == "/submit":
                     rid = frontend.submit(ids, px, mnt, **kw)
@@ -263,6 +323,8 @@ def make_handler(frontend: ServingFrontend):
                     rid = frontend.submit(ids, px, mnt, **kw)
                     return self._sse(rid)
                 return self._json(404, {"error": f"unknown path {self.path}"})
+            except QueueFullError as e:
+                return self._json(429, {"error": str(e)})
             except (KeyError, ValueError, TypeError) as e:
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # pragma: no cover - defensive
@@ -271,14 +333,18 @@ def make_handler(frontend: ServingFrontend):
         def do_DELETE(self):
             try:
                 if self.path.startswith("/prefix/"):
-                    frontend.drop_prefix(int(self.path.rsplit("/", 1)[1]))
+                    try:
+                        frontend.drop_prefix(int(self.path.rsplit("/", 1)[1]))
+                    except KeyError:
+                        return self._json(404, {"error": "unknown prefix id"})
                     return self._json(200, {"ok": True})
                 if self.path.startswith("/request/"):
-                    ok = frontend.cancel(int(self.path.rsplit("/", 1)[1]))
+                    try:
+                        ok = frontend.cancel(int(self.path.rsplit("/", 1)[1]))
+                    except KeyError:
+                        return self._json(404, {"error": "unknown request id"})
                     return self._json(200, {"cancelled": ok})
                 return self._json(404, {"error": f"unknown path {self.path}"})
-            except KeyError:
-                return self._json(404, {"error": "unknown prefix id"})
             except Exception as e:  # pragma: no cover - defensive
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -296,6 +362,9 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--slots", type=int, default=4)
+    parser.add_argument("--max-queue", type=int, default=64,
+                        help="admission queue bound; a full queue returns "
+                        "HTTP 429 (0 = unbounded)")
     parser.add_argument("--max-cache-length", type=int, default=2048)
     parser.add_argument("--quantize", choices=["none", "int8", "int4"], default="none")
     parser.add_argument("--prefill-chunk", type=int, default=None)
@@ -322,6 +391,7 @@ def main(argv=None):
         eos_token_id=tokenizer.eos_token_id if tokenizer.eos_token_id is not None else -1,
         prefill_chunk=args.prefill_chunk,
         spec_lookup=args.spec_lookup,
+        max_queue=args.max_queue if args.max_queue > 0 else None,
     )
     from llama32mm_tpu.preprocess.processor import MllamaImageProcessor
 
@@ -341,7 +411,9 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        frontend.shutdown()
+        # graceful drain: refuse new work, let in-flight requests finish
+        print("draining...", flush=True)
+        frontend.shutdown(drain=True, drain_timeout=60.0)
 
 
 if __name__ == "__main__":

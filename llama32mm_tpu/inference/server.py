@@ -25,11 +25,13 @@ finish. This module adds that as a TPU-native scheduler:
   into the slot and prefills only the suffix at ``q_offset = prefix_len`` —
   same decoder chunk programs, token-identical outputs, prefill cost
   proportional to the suffix;
-- **speculative decoding** (``spec_lookup=K``, greedy): every live slot
-  drafts K tokens from its own history (prompt-lookup bigram match) and the
-  pool verifies them in ONE (K+1)-token forward — decode streams the same
+- **speculative decoding** (``spec_lookup=K``): every live slot drafts K
+  tokens from its own history (prompt-lookup bigram match) and the pool
+  verifies them in ONE (K+1)-token forward — decode streams the same
   weights regardless of query count, so accepted drafts are nearly free for
-  every slot at once; greedy-exact per request;
+  every slot at once; verification is per-slot rejection sampling, so greedy
+  requests stay bit-exact and sampled requests keep their exact target
+  distribution (spec × sampling compose);
 - **multi-LoRA serving** (``adapter_bank=stack_adapter_bank([...])``): each
   request picks a LoRA by ``adapter_id`` and every slot decodes with ITS
   adapter in the same batched forward (per-row A/B einsums over gathered
@@ -47,6 +49,7 @@ request admitted into a busy batch produces the same tokens as a solo
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from typing import NamedTuple, Optional
 
@@ -58,7 +61,12 @@ from llama32mm_tpu.configs import MLLAMAConfig
 from llama32mm_tpu.inference.engine import structured_prefill_mask
 from llama32mm_tpu.models.vlm import vlm_forward
 from llama32mm_tpu.utils.kvcache import KVCache, init_kv_cache
-from llama32mm_tpu.utils.sampling import select_next_token_traced
+from llama32mm_tpu.utils.sampling import select_next_token_traced, spec_verify_tokens
+
+
+class QueueFullError(RuntimeError):
+    """Raised by ``submit`` when the admission queue is at ``max_queue``
+    (backpressure — the HTTP front-end maps this to 429)."""
 
 
 def _single_adapter(bank: dict, aid) -> dict:
@@ -85,10 +93,11 @@ class _Request:
     __slots__ = (
         "rid", "input_ids", "pixel_values", "max_new_tokens", "tokens",
         "slot", "finished", "prompt_len", "prefix", "adapter_id", "sampler",
+        "deadline", "timed_out",
     )
 
     def __init__(self, rid, input_ids, pixel_values, max_new_tokens, prefix=None,
-                 adapter_id=0, sampler=(0.0, 0.9, 50)):
+                 adapter_id=0, sampler=(0.0, 0.9, 50), deadline=None):
         self.rid = rid
         self.input_ids = input_ids  # np [s]
         self.pixel_values = pixel_values  # np [3, H, W] or None
@@ -100,6 +109,8 @@ class _Request:
         self.prefix: Optional[_Prefix] = prefix
         self.adapter_id = adapter_id
         self.sampler = sampler  # (temperature, top_p, top_k) for this request
+        self.deadline = deadline  # absolute time.monotonic() cutoff or None
+        self.timed_out = False
 
 
 class _Prefix:
@@ -149,6 +160,7 @@ class ContinuousBatchingServer:
         spec_lookup: int = 0,
         adapter_bank: Optional[dict] = None,
         rng: Optional[jax.Array] = None,
+        max_queue: Optional[int] = None,
     ):
         """``prefill_chunk=C`` enables **chunked admission** (Sarathi-style):
         a long prompt prefills ``C`` tokens per ``step()`` into a scratch
@@ -164,11 +176,6 @@ class ContinuousBatchingServer:
             raise ValueError(f"prefill_chunk must be >= 1, got {prefill_chunk}")
         if spec_lookup < 0:
             raise ValueError(f"spec_lookup must be >= 0, got {spec_lookup}")
-        if spec_lookup > 0 and temperature != 0.0:
-            raise ValueError(
-                "spec_lookup serving is greedy-only (temperature=0.0); committed "
-                "tokens are the model's own argmax so greedy equality holds"
-            )
         # Multi-LoRA serving: a stacked bank of adapters
         # (train/lora.py::stack_adapter_bank); each request picks one by
         # ``submit(..., adapter_id=i)``. Entry 0 should be the identity
@@ -233,6 +240,13 @@ class ContinuousBatchingServer:
         self._copy_jit = None  # deep-copies a prefix cache (admissions donate)
         self._spec_steps = 0  # live-slot verify steps (spec mode)
         self._spec_tokens = 0  # tokens those steps committed
+        # Backpressure: bound the admission queue (None = unbounded, the
+        # round-2 behavior). A flood past the bound raises QueueFullError at
+        # submit() instead of growing host memory and tail latency silently.
+        if max_queue is not None and max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
+        self.max_queue = max_queue
+        self._timeouts = 0  # requests expired by their deadline
 
     # -- compiled programs --------------------------------------------------
 
@@ -274,17 +288,18 @@ class ContinuousBatchingServer:
             cache1 = init_kv_cache(tc, 1, max_length=bucket, dtype=adtype)
             true_len = jnp.sum(pad_mask, axis=1).astype(jnp.int32)  # [1]
             lora = _single_adapter(bank, aid) if use_lora else None
-            out = vlm_forward(
-                params,
-                cfg,
-                input_ids=ids,
-                pixel_values=px if use_image else None,
-                attention_mask=structured_prefill_mask(pad_mask, bucket),
-                kv_cache=cache1,
-                impl=impl,
-                logits_positions=(true_len - 1)[:, None],
-                lora=lora,
-            )
+            with jax.named_scope("serve_admission"):
+                out = vlm_forward(
+                    params,
+                    cfg,
+                    input_ids=ids,
+                    pixel_values=px if use_image else None,
+                    attention_mask=structured_prefill_mask(pad_mask, bucket),
+                    kv_cache=cache1,
+                    impl=impl,
+                    logits_positions=(true_len - 1)[:, None],
+                    lora=lora,
+                )
             first = select_next_token_traced(
                 out.logits[:, 0], rng, samp[0], samp[1], samp[2]
             )
@@ -347,16 +362,17 @@ class ContinuousBatchingServer:
                 mask4 = jnp.where(
                     attend[:, None, None, :], jnp.asarray(0.0, dt), jnp.finfo(dt).min
                 )
-                out = vlm_forward(
-                    params,
-                    cfg,
-                    input_ids=st.last_token[:, None],
-                    attention_mask=mask4,
-                    position_ids=st.rope_pos[:, None],
-                    kv_cache=st.cache._replace(pos=wp),
-                    impl=impl,
-                    lora=lora,
-                )
+                with jax.named_scope("serve_decode_step"):
+                    out = vlm_forward(
+                        params,
+                        cfg,
+                        input_ids=st.last_token[:, None],
+                        attention_mask=mask4,
+                        position_ids=st.rope_pos[:, None],
+                        kv_cache=st.cache._replace(pos=wp),
+                        impl=impl,
+                        lora=lora,
+                    )
                 nxt = select_next_token_traced(
                     out.logits[:, -1], step_rng,
                     slot_samp[0], slot_samp[1], slot_samp[2],
@@ -384,14 +400,17 @@ class ContinuousBatchingServer:
         return jax.jit(decode_fn, donate_argnums=(1,) if self._donate else ())
 
     def _make_decode_spec(self, n_steps: int):
-        """Batched prompt-lookup speculative decode (greedy): every live slot
-        drafts ``K = spec_lookup`` tokens from its own token history (most
-        recent earlier occurrence of its trailing bigram) and verifies them in
-        ONE ``(K+1)``-token forward shared by all slots. A decode step streams
+        """Batched prompt-lookup speculative decode: every live slot drafts
+        ``K = spec_lookup`` tokens from its own token history (most recent
+        earlier occurrence of its trailing bigram) and verifies them in ONE
+        ``(K+1)``-token forward shared by all slots. A decode step streams
         the same weights regardless of query count, so accepted drafts are
-        nearly free for the whole pool. Greedy-exact per slot (the engine's
-        ``spec_lookup`` semantics, ``inference/engine.py::_make_generate_spec``,
-        generalized to per-slot cache offsets). Returns
+        nearly free for the whole pool. Verification is per-slot rejection
+        sampling (``utils/sampling.py::spec_verify_tokens``): greedy slots
+        stay bit-exact to the greedy-only path, sampled slots commit tokens
+        EXACTLY distributed per their (temperature, top_p, top_k) — spec ×
+        sampling compose in one executable (reference sampler:
+        Inference/Inference.py:85-106). Returns
         ``(state, tokens [B, n_steps, K+1], counts [B, n_steps])``."""
         cfg = self.config
         tc = cfg.text_config
@@ -402,7 +421,8 @@ class ContinuousBatchingServer:
         eos = self.eos_token_id
         use_lora = self.adapter_bank is not None
 
-        def decode_fn(params, state: BatchState, active, bank, slot_aid):
+        def decode_fn(params, state: BatchState, active, rng, bank, slot_aid,
+                      slot_samp):
             B = state.rope_pos.shape[0]
             karange = jnp.arange(S)[None, :]  # [1, S]
             jr = jnp.arange(K + 1)
@@ -413,7 +433,7 @@ class ContinuousBatchingServer:
             else:
                 lora = None
 
-            def one(st: BatchState, _):
+            def one(st: BatchState, step_rng):
                 seq = st.seq
                 rp = st.rope_pos  # seq index of the pending token
                 last_tok = st.last_token  # == seq[b, rp[b]]
@@ -448,10 +468,14 @@ class ContinuousBatchingServer:
                     position_ids=pos, kv_cache=st.cache._replace(pos=wp),
                     impl=impl, lora=lora,
                 )
-                nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)  # [B, K+1]
+                # --- rejection-sampling verify (greedy rows = argmax) ---
+                nxt, acc_bit = spec_verify_tokens(
+                    out.logits, drafts, step_rng,
+                    slot_samp[0], slot_samp[1], slot_samp[2],
+                )  # [B, K+1] int32, [B, K] bool
 
                 # --- per-slot commit: longest accepted prefix + bonus ---
-                acc = jnp.cumprod((drafts == nxt[:, :K]).astype(jnp.int32), axis=1)
+                acc = jnp.cumprod(acc_bit.astype(jnp.int32), axis=1)
                 n_commit = jnp.sum(acc, axis=1) + 1  # [B] in [1, K+1]
                 eos_hit = (jr[None, :] < n_commit[:, None]) & (nxt == eos)
                 first_eos = jnp.min(jnp.where(eos_hit, jr[None, :], K + 1), axis=1)
@@ -486,7 +510,9 @@ class ContinuousBatchingServer:
                 )
                 return st2, (nxt, n_commit)
 
-            st, (toks, counts) = jax.lax.scan(one, state, None, length=n_steps)
+            st, (toks, counts) = jax.lax.scan(
+                one, state, jax.random.split(rng, n_steps)
+            )
             # scan stacks on axis 0: [n_steps, B, ...] → [B, n_steps, ...]
             return st, toks.swapaxes(0, 1), counts.swapaxes(0, 1)
 
@@ -814,6 +840,7 @@ class ContinuousBatchingServer:
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
         top_k: Optional[int] = None,
+        timeout_s: Optional[float] = None,
     ) -> int:
         """Queue a request; returns its id. ``input_ids``: [s] or [1, s] — the
         FULL prompt including any prefix tokens. ``prefix_id`` pins a
@@ -824,17 +851,23 @@ class ContinuousBatchingServer:
         identity adapter). ``temperature``/``top_p``/``top_k`` override the
         server defaults for THIS request — sampler settings are traced, so a
         batch mixes per-request samplers in one executable and new settings
-        never recompile (``spec_lookup`` serving stays greedy-only)."""
+        never recompile; with ``spec_lookup`` active, sampled requests verify
+        drafts by rejection sampling and keep their exact distribution).
+        ``timeout_s`` sets a per-request deadline: a request still queued or
+        decoding ``timeout_s`` seconds after submission is expired at the
+        next ``step()`` (it finishes with whatever tokens it has, flagged
+        ``timed_out``)."""
+        if self.max_queue is not None and len(self._queue) >= self.max_queue:
+            raise QueueFullError(
+                f"admission queue full ({len(self._queue)}/{self.max_queue})"
+            )
+        if timeout_s is not None and timeout_s <= 0:
+            raise ValueError(f"timeout_s must be > 0, got {timeout_s}")
         sampler = (
             self.sampler[0] if temperature is None else float(temperature),
             self.sampler[1] if top_p is None else float(top_p),
             self.sampler[2] if top_k is None else int(top_k),
         )
-        if self.spec_lookup > 0 and sampler[0] != 0.0:
-            raise ValueError(
-                "spec_lookup serving is greedy-only (temperature=0.0); committed "
-                "tokens are the model's own argmax so greedy equality holds"
-            )
         ids = np.asarray(input_ids)
         if ids.ndim == 2 and ids.shape[0] == 1:
             ids = ids[0]
@@ -883,11 +916,27 @@ class ContinuousBatchingServer:
             prefix = self._match_prefix(ids, adapter_id)
         rid = self._next_id
         self._next_id += 1
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
         req = _Request(rid, ids, px, max_new_tokens, prefix=prefix,
-                       adapter_id=adapter_id, sampler=sampler)
+                       adapter_id=adapter_id, sampler=sampler, deadline=deadline)
         self._queue.append(req)
         self._results[rid] = req
         return rid
+
+    def _expire_deadlines(self) -> None:
+        """Finish any request whose deadline has passed (queued, admitting,
+        or decoding). Runs at the top of every step(); an expired request
+        keeps the tokens it already generated and is flagged ``timed_out``."""
+        now = time.monotonic()
+        expired = [
+            r
+            for r in self._results.values()
+            if not r.finished and r.deadline is not None and now >= r.deadline
+        ]
+        for req in expired:
+            req.timed_out = True
+            self._timeouts += 1
+            self.cancel(req.rid)
 
     def _admit(self, req: _Request, slot: int) -> None:
         s = req.prompt_len
@@ -974,6 +1023,7 @@ class ContinuousBatchingServer:
         running slots. Returns ids of requests that finished during this
         call."""
         before = {r.rid for r in self._results.values() if r.finished}
+        self._expire_deadlines()
 
         if self.prefill_chunk is not None:
             if self._inflight is not None:
@@ -1060,7 +1110,8 @@ class ContinuousBatchingServer:
             if ("spec", n) not in self._decode_jit:
                 self._decode_jit[("spec", n)] = self._make_decode_spec(n)
             self.state, toks, counts = self._decode_jit[("spec", n)](
-                self.params, self.state, active, self.adapter_bank, slot_aid
+                self.params, self.state, active, self._next_rng(),
+                self.adapter_bank, slot_aid, self._slot_samp_args(),
             )
             return None, np.asarray(toks), np.asarray(counts)
         if n not in self._decode_jit:
@@ -1131,6 +1182,8 @@ class ContinuousBatchingServer:
             "submitted": self._next_id,
             "finished": sum(r.finished for r in self._results.values()),
             "tokens_generated": sum(len(r.tokens) for r in self._results.values()),
+            **({"max_queue": self.max_queue} if self.max_queue is not None else {}),
+            **({"timeouts": self._timeouts} if self._timeouts else {}),
             **(
                 {
                     "prefixes": len(self._prefixes),

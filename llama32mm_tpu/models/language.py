@@ -423,19 +423,26 @@ def llama_forward(
         else:
             # 2D mask covers the *current* tokens; cached slots are valid.
             tk = kv_cache.max_length
-            pos = kv_cache.pos
-            if jnp.asarray(pos).ndim != 0:
-                raise ValueError(
-                    "per-row cache offsets (pos of shape [B]) require a "
-                    "prebuilt 4D additive mask or AttnMask — the 2D-mask "
-                    "convenience path assumes one shared fill level"
-                )
+            pos = jnp.asarray(kv_cache.pos)
             karange = jnp.arange(tk)[None, :]
-            padded_base = jax.lax.dynamic_update_slice(
-                jnp.zeros((b, tk), jnp.int32), base, (0, pos)
-            )
-            kv_valid = ((karange < pos) | (padded_base != 0)).astype(jnp.int32)
-            kv_valid = kv_valid * (karange < pos + t)
+            if pos.ndim == 0:
+                padded_base = jax.lax.dynamic_update_slice(
+                    jnp.zeros((b, tk), jnp.int32), base, (0, pos)
+                )
+                kv_valid = ((karange < pos) | (padded_base != 0)).astype(jnp.int32)
+                kv_valid = kv_valid * (karange < pos + t)
+            else:
+                # Per-row cache offsets (ragged batch: each row sits at its
+                # own fill level, as the continuous-batching server's slots
+                # do). Row b's current tokens land at pos[b]..pos[b]+t-1;
+                # cached slots < pos[b] stay attendable.
+                pos_b = pos[:, None]  # [B, 1]
+                off = karange - pos_b  # position of key slot within the new chunk
+                base_at = jnp.take_along_axis(base, jnp.clip(off, 0, t - 1), axis=1)
+                kv_valid = (
+                    (karange < pos_b)
+                    | ((off >= 0) & (off < t) & (base_at != 0))
+                ).astype(jnp.int32)
             structured = AttnMask(kv_valid=kv_valid, q_offset=pos)
         if impl_r == "xla":
             # Reference-exact dense mask (causal -inf + finfo.min padding).

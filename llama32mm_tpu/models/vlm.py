@@ -100,12 +100,16 @@ def encode_image(
 ) -> jax.Array:
     """Vision tower + projector: ``[B, C, H, W] → [B, N, text_hidden]``.
     ``lora`` is the projector's adapter leaf (optional fine-tune target)."""
-    feats = vision_encoder_forward(
-        params["vision_model"], config.vision_config, pixel_values, impl=impl,
-        dropout_rng=dropout_rng,
-    )
-    proj = params["multi_modal_projector"]["linear"]
-    out = jnp.matmul(feats, proj["weight"]) + proj["bias"]
+    from llama32mm_tpu.utils.profiling import annotate
+
+    with annotate("vision_encode"):
+        feats = vision_encoder_forward(
+            params["vision_model"], config.vision_config, pixel_values, impl=impl,
+            dropout_rng=dropout_rng,
+        )
+    with annotate("mm_projector"):
+        proj = params["multi_modal_projector"]["linear"]
+        out = jnp.matmul(feats, proj["weight"]) + proj["bias"]
     if lora is not None:
         from llama32mm_tpu.models.language import _maybe_lora
 
@@ -166,23 +170,28 @@ def vlm_forward(
             lora=None if lora is None else lora.get("projector"),
             lora_dropout=lora_dropout,
         )
-        inputs_embeds, attention_mask = merge_input_ids_with_image_features(
-            image_features, inputs_embeds, input_ids, attention_mask, config.image_token_index
-        )
+        from llama32mm_tpu.utils.profiling import annotate
 
-    out = llama_forward(
-        params["language_model"]["model"],
-        tc,
-        input_embeds=inputs_embeds,
-        attention_mask=attention_mask,
-        position_ids=position_ids,
-        kv_cache=kv_cache,
-        lora=lora,
-        dropout_rng=dropout_rng,
-        lora_dropout=lora_dropout,
-        impl=impl,
-        remat=remat,
-    )
+        with annotate("image_splice"):
+            inputs_embeds, attention_mask = merge_input_ids_with_image_features(
+                image_features, inputs_embeds, input_ids, attention_mask,
+                config.image_token_index,
+            )
+
+    with jax.named_scope("decoder"):
+        out = llama_forward(
+            params["language_model"]["model"],
+            tc,
+            input_embeds=inputs_embeds,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            kv_cache=kv_cache,
+            lora=lora,
+            dropout_rng=dropout_rng,
+            lora_dropout=lora_dropout,
+            impl=impl,
+            remat=remat,
+        )
     hidden = out.hidden_states
     if logits_positions is not None:
         if labels is not None:

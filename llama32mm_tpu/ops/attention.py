@@ -49,10 +49,16 @@ def dense_from_structured(
         mask.kv_valid.astype(bool), jnp.asarray(0.0, dtype), jnp.finfo(dtype).min
     )[:, None, None, :]
     if causal:
-        qpos = jnp.asarray(mask.q_offset, jnp.int32) + jnp.arange(tq)[:, None]
+        qoff = jnp.asarray(mask.q_offset, jnp.int32)
         kpos = jnp.arange(tk)[None, :]
-        c = jnp.where(kpos > qpos, -jnp.inf, 0.0).astype(dtype)
-        add = add + c[None, None]
+        if qoff.ndim == 0:
+            qpos = qoff + jnp.arange(tq)[:, None]
+            c = jnp.where(kpos > qpos, -jnp.inf, 0.0).astype(dtype)[None, None]
+        else:
+            # per-row query offsets (ragged batch): [B, tq, tk] causal term
+            qpos = qoff[:, None, None] + jnp.arange(tq)[None, :, None]
+            c = jnp.where(kpos[None] > qpos, -jnp.inf, 0.0).astype(dtype)[:, None]
+        add = add + c
     return add
 
 
@@ -114,6 +120,10 @@ def gqa_attention(
     forced_pallas = impl == "pallas"
     impl = resolve_impl(impl)
     use_flash = impl == "pallas" and tq > 1 and (forced_pallas or tk >= 8192)
+    if structured is not None and jnp.asarray(structured.q_offset).ndim != 0:
+        # per-row query offsets (ragged batch) — the flash kernel takes one
+        # scalar q_offset per call; densify instead
+        use_flash = False
 
     if not use_flash:
         if mask is None and structured is not None:

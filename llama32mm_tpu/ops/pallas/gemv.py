@@ -1,0 +1,240 @@
+"""Decode gemv Pallas kernel — large-block HBM weight streaming.
+
+The decode step is weight-streaming-bound: every matmul is ``x [B≤8, K] @
+w [K, N]`` where the weight read dominates (BASELINE.md north star: ≥90% of
+the HBM roofline). XLA's own gemv schedule measures ~655-704 GB/s effective
+on v5e; a Pallas grid over LARGE column blocks (~12-16 MB — Mosaic
+auto-double-buffers the next block's DMA behind the current block's VPU/MXU
+work) measures ~750 GB/s on the same bytes (scripts/bench_pallas_stream.py).
+The round-2 int8 kernel (ops/pallas/quant_matmul.py) lost to XLA precisely
+because its 4 MB blocks under-fill the DMA pipeline.
+
+No reference counterpart; this replaces the reference's whole CUDA-kernel
+performance play (``Tools/swiglu/swiglu.cu``) on the TPU decode path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llama32mm_tpu.ops.pallas.common import cdiv, round_up, use_interpret
+
+# Target weight-block bytes: big enough that the block DMA dwarfs per-step
+# overhead and reaches stream speed (measured on v5e: 16.8 MB → 750 GB/s,
+# 4 MB → 676, XLA → 655), small enough that double buffering fits VMEM.
+_TARGET_BLOCK_BYTES = 14 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _kernel(x_ref, w_ref, out_ref):
+    out_ref[:] = jnp.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _block_n(k: int, n: int, itemsize: int, target: int) -> int:
+    bn = max(128, (target // (k * itemsize)) // 128 * 128)
+    return min(round_up(n, 128), bn)
+
+
+def gemv_pallas(x: jax.Array, w: jax.Array, block_bytes: int | None = None) -> jax.Array:
+    """``x [..., K] @ w [K, N]`` tuned for few-row (decode) shapes.
+
+    Full-K column blocks sized to ``block_bytes`` stream through a 1-D grid;
+    no K tiling (every decode K ≤ 8192 fits VMEM alongside the block), so
+    each block is one fp32-accumulated MXU dot. Rows are padded to the
+    8-sublane tile by the caller's reshape; use only when the row count is
+    small (the block holds [K, BN] regardless of rows, so prefill shapes
+    would starve the MXU — route those through plain ``jnp.matmul``)."""
+    shape = x.shape
+    k, n = w.shape
+    x2d = x.reshape(-1, k)
+    r = x2d.shape[0]
+    bn = _block_n(k, n, w.dtype.itemsize, block_bytes or _TARGET_BLOCK_BYTES)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(cdiv(n, bn),),
+        in_specs=[
+            pl.BlockSpec((r, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * n,
+            bytes_accessed=r * k * x.dtype.itemsize + k * n * w.dtype.itemsize
+            + r * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(x2d, w)
+    return out.reshape(*shape[:-1], n)
+
+
+def _stacked_kernel(l_ref, x_ref, w_ref, out_ref):
+    out_ref[:] = jnp.dot(
+        x_ref[:], w_ref[0], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def gemv_stacked_pallas(
+    x: jax.Array,  # [..., K]
+    w: jax.Array,  # [L, K, N] stacked per-layer weights
+    layer_idx: jax.Array,  # scalar int32
+    block_bytes: int | None = None,
+) -> jax.Array:
+    """``x @ w[layer_idx]`` reading layer ``layer_idx``'s blocks DIRECTLY out
+    of the stacked HBM array via a scalar-prefetch index_map.
+
+    This is the decode-critical variant: inside the model's ``lax.scan`` over
+    layers, slicing ``w[l]`` outside a Pallas call materializes a copy of the
+    whole layer weight before the custom call (measured: the same gemv runs
+    706 GB/s on a static slice but 220 GB/s on a scan-sliced operand — the
+    dynamic-slice copy eats the bandwidth the kernel saves). With the layer
+    index prefetched, no slice ever exists."""
+    shape = x.shape
+    L, k, n = w.shape
+    x2d = x.reshape(-1, k)
+    r = x2d.shape[0]
+    bn = _block_n(k, n, w.dtype.itemsize, block_bytes or _TARGET_BLOCK_BYTES)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        _stacked_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cdiv(n, bn),),
+            in_specs=[
+                pl.BlockSpec((r, k), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k, bn), lambda i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((r, bn), lambda i, l: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * n,
+            bytes_accessed=r * k * x.dtype.itemsize + k * n * w.dtype.itemsize
+            + r * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(lidx, x2d, w)
+    return out.reshape(*shape[:-1], n)
+
+
+def _qstacked_kernel(l_ref, x_ref, w_ref, scale_ref, out_ref):
+    acc = jnp.dot(
+        x_ref[:], w_ref[0].astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
+    out_ref[:] = (acc * scale_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def int8_gemv_stacked_pallas(
+    x: jax.Array,  # [..., K]
+    w_q: jax.Array,  # [L, K, N] int8
+    scale: jax.Array,  # [L, N] fp32
+    layer_idx: jax.Array,  # scalar int32
+    block_bytes: int | None = None,
+) -> jax.Array:
+    """int8 weights-only variant of :func:`gemv_stacked_pallas` (dequant
+    fused in VMEM, per-output-channel scales, no scan-slice copy)."""
+    shape = x.shape
+    L, k, n = w_q.shape
+    x2d = x.reshape(-1, k)
+    r = x2d.shape[0]
+    bn = _block_n(k, n, 1, block_bytes or _TARGET_BLOCK_BYTES)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        _qstacked_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cdiv(n, bn),),
+            in_specs=[
+                pl.BlockSpec((r, k), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k, bn), lambda i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bn), lambda i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((r, bn), lambda i, l: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * n,
+            bytes_accessed=r * k * x.dtype.itemsize + k * n + n * 4
+            + r * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(lidx, x2d, w_q, scale[:, None, :])
+    return out.reshape(*shape[:-1], n)
+
+
+def _qkernel(x_ref, w_ref, scale_ref, out_ref):
+    acc = jnp.dot(
+        x_ref[:], w_ref[:].astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
+    out_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def int8_gemv_pallas(
+    x: jax.Array,  # [..., K] bf16/f32
+    w_q: jax.Array,  # [K, N] int8
+    scale: jax.Array,  # [N] fp32 per-output-channel
+    block_bytes: int | None = None,
+) -> jax.Array:
+    """int8 weights-only gemv with the dequant fused in VMEM and the same
+    large-block streaming as :func:`gemv_pallas` (the round-2 4 MB-block
+    kernel measured 125 tok/s vs XLA's 177 on the full decode; block size,
+    not the conversion, was the deficit)."""
+    shape = x.shape
+    k, n = w_q.shape
+    x2d = x.reshape(-1, k)
+    r = x2d.shape[0]
+    bn = _block_n(k, n, 1, block_bytes or _TARGET_BLOCK_BYTES)
+
+    out = pl.pallas_call(
+        _qkernel,
+        grid=(cdiv(n, bn),),
+        in_specs=[
+            pl.BlockSpec((r, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * n,
+            bytes_accessed=r * k * x.dtype.itemsize + k * n + n * 4
+            + r * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(x2d, w_q, scale[None, :])
+    return out.reshape(*shape[:-1], n)

@@ -98,6 +98,71 @@ def filter_logits_traced(
     return jnp.take_along_axis(sorted2, inv, axis=-1)
 
 
+def spec_verify_tokens(
+    logits: jax.Array,  # [B, K+1, V] target logits at each fed position
+    drafts: jax.Array,  # [B, K] proposed (deterministic) draft tokens
+    rng: jax.Array,
+    temperature: jax.Array,  # [B]
+    top_p: jax.Array,  # [B]
+    top_k: jax.Array,  # [B]
+) -> tuple:
+    """Rejection-sampling verification of deterministic drafts (speculative
+    decoding × sampling; reference sampler semantics per row).
+
+    The draft proposal is a point mass (prompt-lookup bigram match), so the
+    standard rejection rule reduces to: accept draft ``d`` with probability
+    ``p(d)`` under the row's FILTERED sampling distribution ``p`` (temperature
+    → top-k → top-p, exactly ``select_next_token_traced``'s distribution); on
+    the first rejection, resample from ``p`` with ``d`` removed and
+    renormalized (= the normalized residual ``(p - q)+`` for a point-mass
+    ``q``), which makes every committed token EXACTLY ``p``-distributed —
+    speculation changes latency, never the distribution. Greedy rows
+    (``temperature <= 0``) accept iff the draft equals the argmax and commit
+    the argmax — bit-equal to the greedy-only spec path.
+
+    Returns ``(nxt [B, K+1] int32, acc [B, K] bool)``: committing
+    ``nxt[:, :n]`` where ``n-1`` is the length of ``acc``'s leading-True
+    prefix (the caller's existing cumprod+1 rule) yields accepted drafts,
+    then the replacement at the first miss — or the bonus token at position
+    K when everything was accepted. An all-greedy batch skips the full-vocab
+    filter through the same ``lax.cond`` fast path as the plain sampler."""
+    B, K1, V = logits.shape
+    K = K1 - 1
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K+1]
+    acc_greedy = drafts == greedy[:, :K]
+
+    def _sampled(_):
+        flat = logits.reshape(B * K1, V)
+        rep = lambda a: jnp.repeat(a, K1)  # noqa: E731 — row b, pos j → b*K1+j
+        filt = filter_logits_traced(
+            flat, rep(temperature), rep(top_p), rep(top_k)
+        ).reshape(B, K1, V)
+        p = jax.nn.softmax(filt, axis=-1)
+        r_acc, r_repl, r_bonus = jax.random.split(rng, 3)
+        p_draft = jnp.take_along_axis(p[:, :K], drafts[..., None], axis=-1)[..., 0]
+        accept = jax.random.uniform(r_acc, (B, K)) < p_draft
+        # residual distribution: draft token removed, renormalized
+        draft_hot = drafts[..., None] == jnp.arange(V)[None, None, :]
+        masked = jnp.where(draft_hot, -jnp.inf, filt[:, :K])
+        repl = jax.random.categorical(r_repl, masked, axis=-1).astype(jnp.int32)
+        bonus = jax.random.categorical(r_bonus, filt[:, K], axis=-1).astype(jnp.int32)
+        nxt_s = jnp.concatenate(
+            [jnp.where(accept, drafts, repl), bonus[:, None]], axis=1
+        )
+        g_row = (temperature <= 0.0)[:, None]
+        return (
+            jnp.where(g_row, greedy, nxt_s),
+            jnp.where(g_row, acc_greedy, accept),
+        )
+
+    return jax.lax.cond(
+        jnp.all(temperature <= 0.0),
+        lambda _: (greedy, acc_greedy),
+        _sampled,
+        operand=None,
+    )
+
+
 def select_next_token_traced(
     logits: jax.Array,  # [B, V]
     rng: jax.Array,

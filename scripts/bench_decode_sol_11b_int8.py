@@ -42,9 +42,16 @@ def main():
     def q8(key, shape):
         # int8 iota (fused, no wide intermediate — random bits would stage a
         # 4x uint32 buffer and OOM the 16 GB chip); values are irrelevant to
-        # a bandwidth probe
+        # a bandwidth probe. A per-layer iota offset along axis 0 keeps the
+        # L layer slices byte-distinct — identical slices can be aliased /
+        # deduped by the runtime, overstating the roofline this probe is
+        # meant to establish (bench.py::random_int8_vlm_params measured
+        # identical-buffer decode 23% above the physical HBM ceiling).
         w = jax.jit(
-            lambda: jax.lax.broadcasted_iota(jnp.int8, shape, len(shape) - 1)
+            lambda: (
+                jax.lax.broadcasted_iota(jnp.int8, shape, len(shape) - 1)
+                + jax.lax.broadcasted_iota(jnp.int8, shape, 0)
+            )
         )()
         scale = jnp.full(shape[:1] + shape[-1:] if len(shape) == 3 else shape[-1:],
                          1e-2, jnp.float32)
@@ -61,8 +68,14 @@ def main():
     head_q, head_s = q8(7, (h, V))
     head_s = jnp.full((V,), 1e-2, jnp.float32)
     cache_shape = (L, 1, nkv, CACHE_LEN, hd)
-    kcache = jax.jit(lambda: jax.lax.broadcasted_iota(jnp.int8, cache_shape, 3))()
-    vcache = jax.jit(lambda: jax.lax.broadcasted_iota(jnp.int8, cache_shape, 4))()
+    kcache = jax.jit(lambda: (
+        jax.lax.broadcasted_iota(jnp.int8, cache_shape, 3)
+        + jax.lax.broadcasted_iota(jnp.int8, cache_shape, 0)
+    ))()
+    vcache = jax.jit(lambda: (
+        jax.lax.broadcasted_iota(jnp.int8, cache_shape, 4)
+        + jax.lax.broadcasted_iota(jnp.int8, cache_shape, 0)
+    ))()
     kscale = jnp.full((L, 1, nkv, CACHE_LEN), 1e-2, jnp.float32)
     vscale = jnp.full((L, 1, nkv, CACHE_LEN), 1e-2, jnp.float32)
 

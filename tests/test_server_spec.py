@@ -101,10 +101,11 @@ def test_spec_mid_decode_admission(tiny):
 
 def test_spec_validation(tiny):
     cfg, params = tiny
-    with pytest.raises(ValueError, match="greedy-only"):
-        ContinuousBatchingServer(
-            params, cfg, slots=1, max_cache_length=64, spec_lookup=3, temperature=0.7,
-        )
+    # spec × sampling COMPOSE since the rejection-sampling verify (round 3);
+    # the old greedy-only constructor guard must be gone.
+    ContinuousBatchingServer(
+        params, cfg, slots=1, max_cache_length=64, spec_lookup=3, temperature=0.7,
+    )
     srv = ContinuousBatchingServer(
         params, cfg, slots=1, max_cache_length=64, spec_lookup=4, eos_token_id=-1,
     )

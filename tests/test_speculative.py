@@ -84,12 +84,16 @@ def test_spec_bucketed_prompt_matches(tiny):
     np.testing.assert_array_equal(got, want)
 
 
-def test_spec_rejects_sampling_and_batch(tiny):
+def test_spec_rejects_batch(tiny):
+    # spec × SAMPLING composes since the rejection-sampling verify (round 3):
+    # temperature > 0 must run, not raise (see test_spec_sampling_* below);
+    # multi-row batches still go through the batched server, not the engine.
     cfg, params = tiny
     ids, px = _prompt(cfg, 11), _px()
     eng = InferenceEngine(params, cfg, max_cache_length=96, spec_lookup=3)
-    with pytest.raises(ValueError, match="greedy-only"):
-        eng.generate(ids, px, max_new_tokens=4, temperature=0.7)
+    out = eng.generate(ids, px, max_new_tokens=4, temperature=0.7,
+                       rng=jax.random.PRNGKey(0))
+    assert int(out.num_generated[0]) == 4
     ids2 = jnp.concatenate([ids, ids], axis=0)
     px2 = jnp.concatenate([px, px], axis=0)
     with pytest.raises(ValueError, match="batch size 1"):
@@ -135,3 +139,70 @@ def test_spec_auto_bucket_reserves_headroom(tiny):
     )
     want = np.asarray(ref.tokens)[0, : int(ref.num_generated[0])]
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# spec × sampling (rejection-sampling verification, round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_spec_verify_greedy_rows_are_argmax():
+    """T=0 rows of spec_verify_tokens are bit-exact argmax regardless of the
+    rng — the greedy-equivalence regression for the rejection sampler."""
+    from llama32mm_tpu.utils.sampling import spec_verify_tokens
+
+    B, K, V = 3, 4, 32
+    logits = jax.random.normal(jax.random.PRNGKey(0), (B, K + 1, V)) * 3.0
+    drafts = jax.random.randint(jax.random.PRNGKey(1), (B, K), 0, V)
+    t = jnp.asarray([0.0, 0.0, 0.0])
+    nxt, acc = spec_verify_tokens(
+        logits, drafts, jax.random.PRNGKey(7), t,
+        jnp.full((B,), 0.9), jnp.full((B,), 50, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(nxt), np.argmax(np.asarray(logits), -1))
+    np.testing.assert_array_equal(
+        np.asarray(acc), np.asarray(drafts) == np.argmax(np.asarray(logits), -1)[:, :K]
+    )
+
+
+def test_spec_verify_committed_token_distribution():
+    """The FIRST committed token of a verify step must be distributed exactly
+    per the row's filtered sampling distribution p — the defining property of
+    rejection-sampling speculative decoding (accept draft d w.p. p(d), else
+    resample from the renormalized residual). Empirical TV distance over many
+    rngs must be small, for drafts both likely and unlikely under p."""
+    from llama32mm_tpu.utils.sampling import filter_logits_traced, spec_verify_tokens
+
+    V, K, N = 16, 1, 4000
+    logits = jax.random.normal(jax.random.PRNGKey(3), (1, K + 1, V)) * 2.0
+    temp = jnp.asarray([0.8])
+    top_p = jnp.asarray([0.95])
+    top_k = jnp.asarray([12], jnp.int32)
+
+    filt = filter_logits_traced(logits[:, 0], temp, top_p, top_k)
+    p = np.asarray(jax.nn.softmax(filt, axis=-1))[0]
+
+    for draft_tok in (int(np.argmax(p)), int(np.argmin(p))):
+        drafts = jnp.asarray([[draft_tok]], jnp.int32)
+
+        def one(key):
+            nxt, _ = spec_verify_tokens(logits, drafts, key, temp, top_p, top_k)
+            return nxt[0, 0]
+
+        toks = np.asarray(jax.vmap(one)(jax.random.split(jax.random.PRNGKey(11), N)))
+        emp = np.bincount(toks, minlength=V) / N
+        tv = 0.5 * np.abs(emp - p).sum()
+        assert tv < 0.05, (draft_tok, tv)
+        # filtered-out tokens must never be committed
+        assert set(np.unique(toks)) <= set(np.where(p > 0)[0].tolist())
+
+
+def test_spec_sampled_generation_runs_and_respects_budget(tiny):
+    cfg, params = tiny
+    ids, px = _prompt(cfg, 11), _px()
+    eng = InferenceEngine(params, cfg, max_cache_length=96, spec_lookup=3)
+    res = eng.generate(ids, px, max_new_tokens=9, temperature=0.9, top_p=0.85,
+                       top_k=7, rng=jax.random.PRNGKey(5))
+    assert int(res.num_generated[0]) == 9
+    toks = np.asarray(res.tokens)[0, :9]
+    assert ((0 <= toks) & (toks < cfg.vocab_size)).all()
