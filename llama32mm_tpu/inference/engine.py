@@ -128,6 +128,7 @@ class InferenceEngine:
         kv_dtype: Optional[str] = None,
         prompt_buckets=None,
         spec_lookup: int = 0,
+        gemv_routes="auto",
     ):
         """``kv_dtype="int8"`` enables the quantized KV cache serving mode
         (int8 slots + per-position scales folded into attention — halves
@@ -159,6 +160,26 @@ class InferenceEngine:
         self.kv_dtype = kv_dtype
         self.prompt_buckets = prompt_buckets
         self.spec_lookup = int(spec_lookup)
+        # Decode gemv routing (VERDICT r2 #1): "auto" = the measured per-shape
+        # winners on TPU (ops/pallas/gemv.py::default_decode_routes), off
+        # elsewhere; pass an explicit dict or None to override. Applies to
+        # decode-step/verify forwards only — prefill keeps XLA's MXU tiling.
+        if gemv_routes == "auto":
+            if jax.default_backend() == "tpu":
+                from llama32mm_tpu.ops.pallas.gemv import default_decode_routes
+                from llama32mm_tpu.ops.quant import is_quantized
+
+                anyq = any(
+                    is_quantized(l)
+                    for l in jax.tree.leaves(
+                        params, is_leaf=lambda x: isinstance(x, dict) and "q" in x
+                    )
+                    if isinstance(l, dict)
+                )
+                gemv_routes = default_decode_routes(quantized=anyq)
+            else:
+                gemv_routes = None
+        self.gemv_routes = gemv_routes
         self._generate_jit = {}
 
     def _bucketed_len(self, s: int, max_new_tokens: int) -> int:
@@ -169,6 +190,7 @@ class InferenceEngine:
         tc = cfg.text_config
         max_len = self.max_cache_length
         impl = self.impl
+        gemv_routes = self.gemv_routes
 
         kv_dtype = self.kv_dtype
 
@@ -230,6 +252,7 @@ class InferenceEngine:
                         position_ids=pos,
                         kv_cache=cache,
                         impl=impl,
+                        gemv_routes=gemv_routes,
                     )
                 rng, step_rng = jax.random.split(rng)
                 nxt = select_next_token(
@@ -272,6 +295,7 @@ class InferenceEngine:
         impl = self.impl
         kv_dtype = self.kv_dtype
         K = self.spec_lookup
+        gemv_routes = self.gemv_routes
         samp = (
             jnp.asarray([temperature], jnp.float32),
             jnp.asarray([top_p], jnp.float32),
@@ -346,7 +370,7 @@ class InferenceEngine:
                 step_out = vlm_forward(
                     params, cfg, input_ids=feed, attention_mask=mask,
                     position_ids=pos, kv_cache=cache._replace(pos=p_slot),
-                    impl=impl,
+                    impl=impl, gemv_routes=gemv_routes,
                 )
                 nxt_b, acc_bit = spec_verify_tokens(
                     step_out.logits, drafts[None], step_rng, *samp

@@ -161,6 +161,7 @@ class ContinuousBatchingServer:
         adapter_bank: Optional[dict] = None,
         rng: Optional[jax.Array] = None,
         max_queue: Optional[int] = None,
+        gemv_routes="auto",
     ):
         """``prefill_chunk=C`` enables **chunked admission** (Sarathi-style):
         a long prompt prefills ``C`` tokens per ``step()`` into a scratch
@@ -197,6 +198,26 @@ class ContinuousBatchingServer:
         self.kv_dtype = kv_dtype
         self.prompt_buckets = prompt_buckets
         self.impl = impl
+        # Decode gemv routing (VERDICT r2 #1): decode-step/verify forwards
+        # stream routed weights through the large-block Pallas gemv kernels
+        # ("auto" = measured winners on TPU, off elsewhere; see
+        # ops/pallas/gemv.py::default_decode_routes). Admission/prefill keeps
+        # XLA's MXU tiling.
+        if gemv_routes == "auto":
+            if jax.default_backend() == "tpu":
+                from llama32mm_tpu.ops.pallas.gemv import default_decode_routes
+                from llama32mm_tpu.ops.quant import is_quantized
+
+                anyq = any(
+                    isinstance(l, dict) and is_quantized(l)
+                    for l in jax.tree.leaves(
+                        params, is_leaf=lambda x: isinstance(x, dict) and ("q" in x or "q4" in x)
+                    )
+                )
+                gemv_routes = default_decode_routes(quantized=anyq)
+            else:
+                gemv_routes = None
+        self.gemv_routes = gemv_routes
         self.sampler = (temperature, top_p, top_k)
         self.eos_token_id = eos_token_id
         self.steps_per_sync = steps_per_sync
@@ -338,6 +359,7 @@ class ContinuousBatchingServer:
         cfg = self.config
         tc = cfg.text_config
         impl = self.impl
+        gemv_routes = self.gemv_routes
         S = self.max_cache_length
         dt = tc.jnp_dtype
         use_lora = self.adapter_bank is not None
@@ -372,6 +394,7 @@ class ContinuousBatchingServer:
                         kv_cache=st.cache._replace(pos=wp),
                         impl=impl,
                         lora=lora,
+                        gemv_routes=gemv_routes,
                     )
                 nxt = select_next_token_traced(
                     out.logits[:, -1], step_rng,
@@ -415,6 +438,7 @@ class ContinuousBatchingServer:
         cfg = self.config
         tc = cfg.text_config
         impl = self.impl
+        gemv_routes = self.gemv_routes
         S = self.max_cache_length
         K = self.spec_lookup
         dt = tc.jnp_dtype
@@ -466,7 +490,7 @@ class ContinuousBatchingServer:
                 out = vlm_forward(
                     params, cfg, input_ids=feed, attention_mask=mask4,
                     position_ids=pos, kv_cache=st.cache._replace(pos=wp),
-                    impl=impl, lora=lora,
+                    impl=impl, lora=lora, gemv_routes=gemv_routes,
                 )
                 # --- rejection-sampling verify (greedy rows = argmax) ---
                 nxt, acc_bit = spec_verify_tokens(

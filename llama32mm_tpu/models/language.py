@@ -154,6 +154,105 @@ def _linear(x, weight, lora=None, dropout_rng=None, dropout_rate=0.0, impl="auto
     return _maybe_lora(x, out, lora, dropout_rng, dropout_rate)
 
 
+# Decode gemv routing (VERDICT r2 #1): at decode the per-layer matmuls are
+# weight-streaming-bound gemvs; the large-block stacked Pallas kernel
+# (ops/pallas/gemv.py) reads each layer's blocks straight out of the stacked
+# HBM array via scalar prefetch — measured faster than XLA's gemv schedule on
+# the wide-K shapes (w_down 587→729 GB/s, out_proj 579→641 on v5e;
+# scripts/bench_gemv_ab.py). Routed weights leave the layer-scan xs and ride
+# as closures so no scan-slice copy ever materializes.
+
+_GEMV_ATT = ("W_query", "W_key", "W_value", "out_proj")
+_GEMV_FF = ("w_gate", "w_up", "w_down")
+
+
+def _gemv_routable(leaf) -> bool:
+    from llama32mm_tpu.ops.quant import is_quantized
+
+    if is_quantized(leaf):
+        return "q" in leaf  # int8 per-channel only (no int4 gemv kernel)
+    return hasattr(leaf, "ndim") and leaf.ndim == 3  # stacked float [L, K, N]
+
+
+def _route_spec(spec):
+    """Normalize a route spec: ``bytes|None`` → ("stacked", bytes);
+    ``("stacked"|"slice", bytes)`` passes through. "slice" keeps the weight in
+    the layer scan and runs the plain Pallas gemv on the sliced operand —
+    measured faster than scalar-prefetch for SMALL weights (the slice copy
+    overlaps the previous layer's compute; wk int8 902 vs 561 GB/s), while
+    "stacked" wins for large ones where the copy can't hide (w_down)."""
+    if isinstance(spec, tuple):
+        return spec
+    return ("stacked", spec)
+
+
+def split_gemv_weights(blocks: dict, routes: dict):
+    """Return (blocks-minus-stacked-routed-leaves, ctx {name: entry}).
+
+    ``routes`` maps weight names (subset of ``_GEMV_ATT + _GEMV_FF``) to a
+    Pallas block size in bytes / ``("stacked"|"slice", bytes)``. Stacked-mode
+    entries are REMOVED from the scanned pytree (the kernel indexes the full
+    HBM array by layer via scalar prefetch); slice-mode entries stay in the
+    scan. Unroutable leaves (int4, fused, missing) are silently left alone."""
+    ctx = {}
+    att = dict(blocks.get("att", {}))
+    ff = dict(blocks.get("ff", {}))
+    sw = dict(ff.get("swiglu", {})) if "swiglu" in ff else None
+
+    def leaf_of(container, name):
+        v = container[name]
+        return v["weight"] if isinstance(v, dict) and "weight" in v else v
+
+    for name, spec in routes.items():
+        mode, bb = _route_spec(spec)
+        if name in _GEMV_ATT and name in att:
+            leaf = leaf_of(att, name)
+            if _gemv_routable(leaf):
+                ctx[name] = ("slice", None, bb) if mode == "slice" else ("stacked", leaf, bb)
+                if mode != "slice":
+                    att.pop(name)
+        elif name == "w_down" and "w_down" in ff:
+            leaf = leaf_of(ff, "w_down")
+            if _gemv_routable(leaf):
+                ctx[name] = ("slice", None, bb) if mode == "slice" else ("stacked", leaf, bb)
+                if mode != "slice":
+                    ff.pop(name)
+        elif name in ("w_gate", "w_up") and sw is not None and name in sw:
+            leaf = sw[name]
+            if _gemv_routable(leaf):
+                ctx[name] = ("slice", None, bb) if mode == "slice" else ("stacked", leaf, bb)
+                if mode != "slice":
+                    sw.pop(name)
+    if not ctx:
+        return blocks, None
+    out = dict(blocks)
+    out["att"] = att
+    if sw is not None:
+        ff["swiglu"] = sw
+    out["ff"] = ff
+    return out, ctx
+
+
+def _gemv_apply(x, entry, layer_idx, sliced_weight=None):
+    from llama32mm_tpu.ops.pallas.gemv import (
+        gemv_pallas,
+        gemv_stacked_pallas,
+        int8_gemv_pallas,
+        int8_gemv_stacked_pallas,
+    )
+    from llama32mm_tpu.ops.quant import is_quantized
+
+    mode, leaf, bb = entry
+    if mode == "slice":
+        w = sliced_weight
+        if is_quantized(w):
+            return int8_gemv_pallas(x, w["q"], w["scale"], block_bytes=bb)
+        return gemv_pallas(x, w, block_bytes=bb)
+    if is_quantized(leaf):
+        return int8_gemv_stacked_pallas(x, leaf["q"], leaf["scale"], layer_idx, block_bytes=bb)
+    return gemv_stacked_pallas(x, leaf, layer_idx, block_bytes=bb)
+
+
 def _fused_linear(x, fused, impl="auto"):
     """``x [.., H] @ fused [H, tp, C] → [.., tp, C]`` (models/fuse.py layout);
     handles float and int8-quantized fused weights."""
@@ -243,6 +342,7 @@ def _block_forward(
     dropout_rngs: Optional[dict],
     impl: str,
     lora_dropout: float = 0.0,
+    gemv_ctx: Optional[dict] = None,
 ):
     """One TransformerBlock (reference Model/model.py:265-273)."""
     b, t, _ = h.shape
@@ -256,6 +356,22 @@ def _block_forward(
         return None if dropout_rngs is None else dropout_rngs.get(name)
 
     dr = lora_dropout
+
+    def proj(x, name, container):
+        """Linear through the decode-gemv route when ``name`` is routed
+        (stacked Pallas gemv indexed by layer_idx, or the plain gemv on the
+        scanned slice), else the scanned XLA matmul."""
+        if gemv_ctx is not None and name in gemv_ctx:
+            entry = gemv_ctx[name]
+            sliced = None
+            if entry[0] == "slice":
+                sliced = container[name]
+                sliced = sliced["weight"] if isinstance(sliced, dict) and "weight" in sliced else sliced
+            out = _gemv_apply(x, entry, layer_idx, sliced)
+            return _maybe_lora(x, out, lora_for(name), rng_for(name), dr)
+        w = container[name]
+        w = w["weight"] if isinstance(w, dict) and "weight" in w else w
+        return _linear(x, w, lora_for(name), rng_for(name), dr, impl)
 
     # norm1 → attention
     normed = fused_add_rmsnorm(h, layer_params["norm1"]["weight"], config.rms_norm_eps, impl=impl)
@@ -274,9 +390,9 @@ def _block_forward(
         k = _maybe_lora(normed, k, lora_for("W_key"), rng_for("W_key"), dr)
         v = _maybe_lora(normed, v, lora_for("W_value"), rng_for("W_value"), dr)
     else:
-        q = _linear(normed, att_p["W_query"]["weight"], lora_for("W_query"), rng_for("W_query"), dr, impl)
-        k = _linear(normed, att_p["W_key"]["weight"], lora_for("W_key"), rng_for("W_key"), dr, impl)
-        v = _linear(normed, att_p["W_value"]["weight"], lora_for("W_value"), rng_for("W_value"), dr, impl)
+        q = proj(normed, "W_query", att_p)
+        k = proj(normed, "W_key", att_p)
+        v = proj(normed, "W_value", att_p)
     q = q.reshape(b, t, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -314,7 +430,7 @@ def _block_forward(
         k_scale=k_scale, v_scale=v_scale,
     )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * hd)
-    attn_out = _linear(attn, att_p["out_proj"]["weight"], lora_for("out_proj"), rng_for("out_proj"), dr, impl)
+    attn_out = proj(attn, "out_proj", att_p)
 
     # Fused add-norm: residual enters the RMSNorm (Model/model.py:271).
     normed_ff = fused_add_rmsnorm(
@@ -337,13 +453,18 @@ def _block_forward(
         gate = _maybe_lora(normed_ff, gate, lora_for("w_gate"), rng_for("w_gate"), dr)
         up = _maybe_lora(normed_ff, up, lora_for("w_up"), rng_for("w_up"), dr)
         inter = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(gate.dtype)
-    elif is_quantized(ff_p["swiglu"]["w_gate"]) or has_gateup_lora:
+    elif (
+        (gemv_ctx is not None and ("w_gate" in gemv_ctx or "w_up" in gemv_ctx))
+        or is_quantized(ff_p["swiglu"]["w_gate"])
+        or has_gateup_lora
+    ):
         sw = ff_p["swiglu"]
-        # Quantized gate/up stream through the int8 dequant matmul; LoRA
-        # deltas on gate/up recompose the activation exactly (silu(g+Δg)·(u+Δu)
-        # isn't a delta on `inter`), so both cases use the explicit form.
-        gate = _linear(normed_ff, sw["w_gate"], lora_for("w_gate"), rng_for("w_gate"), dr, impl)
-        up = _linear(normed_ff, sw["w_up"], lora_for("w_up"), rng_for("w_up"), dr, impl)
+        # Quantized / gemv-routed gate/up stream through explicit matmuls;
+        # LoRA deltas on gate/up recompose the activation exactly
+        # (silu(g+Δg)·(u+Δu) isn't a delta on `inter`), so all cases use the
+        # explicit form.
+        gate = proj(normed_ff, "w_gate", sw)
+        up = proj(normed_ff, "w_up", sw)
         inter = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(gate.dtype)
     else:
         sw = ff_p["swiglu"]
@@ -355,7 +476,7 @@ def _block_forward(
             sw.get("b_up"),
             impl=impl,
         )
-    ff_out = _linear(inter, ff_p["w_down"]["weight"], lora_for("w_down"), rng_for("w_down"), dr, impl)
+    ff_out = proj(inter, "w_down", ff_p)
 
     # Residual-stream drop (parity, SURVEY §2.9 #2): return attn_out + ff_out;
     # the block input h is NOT added back.
@@ -376,8 +497,15 @@ def llama_forward(
     lora_dropout: float = 0.0,
     impl: str = "auto",
     remat: bool = False,
+    gemv_routes: Optional[dict] = None,
 ) -> LlamaOutput:
     """``Llama3Model.forward`` (reference Model/model.py:328-346).
+
+    ``gemv_routes``: ``{weight_name: pallas_block_bytes|None}`` — route those
+    stacked per-layer matmuls through the large-block stacked Pallas gemv
+    (``ops/pallas/gemv.py``) instead of the scanned XLA matmul. Decode-only
+    optimization: applied only when the query length is ≤ 32 (gemv blocks
+    hold [K, BN] regardless of rows, so prefill shapes would starve the MXU).
 
     ``attention_mask`` may be a 2D padding mask (reference semantics: combined
     with a causal term) or a prebuilt 4D additive mask ``[B, 1, Tq, Tk]``
@@ -462,6 +590,9 @@ def llama_forward(
     cos, sin = rope_cos_sin(position_ids, config.head_dim, config.rope_base, h.dtype, scaling)
 
     blocks = params["blocks"]
+    gemv_ctx = None
+    if gemv_routes and t <= 32:
+        blocks, gemv_ctx = split_gemv_weights(blocks, gemv_routes)
     lora_blocks = None if lora is None else lora.get("blocks")
     cache_pos = kv_cache.pos if kv_cache is not None else None
 
@@ -474,7 +605,11 @@ def llama_forward(
         layer_rngs = None
 
     has_cache = kv_cache is not None
-    layer_ids = jnp.arange(config.n_layers, dtype=jnp.int32) if has_cache else None
+    layer_ids = (
+        jnp.arange(config.n_layers, dtype=jnp.int32)
+        if (has_cache or gemv_ctx is not None)
+        else None
+    )
 
     def body(carry, xs):
         h, k_all, v_all, ks_all, vs_all = carry
@@ -486,7 +621,7 @@ def llama_forward(
         out, k_all, v_all, ks_all, vs_all = _block_forward(
             h, layer_params, config, cos, sin, mask, structured, k_all, v_all,
             ks_all, vs_all, layer_idx, cache_pos, lora_l, dropout_rngs, impl,
-            lora_dropout,
+            lora_dropout, gemv_ctx,
         )
         return (out, k_all, v_all, ks_all, vs_all), None
 
@@ -522,11 +657,37 @@ def lm_head_apply(
     impl: str = "auto",
     dropout_rng=None,
     dropout_rate: float = 0.0,
+    gemv_route=None,
 ) -> jax.Array:
     """``Llama3ForCausalLM`` head; tied weights use the embedding transposed.
     ``lora`` is the head's adapter leaf (the README recipe wraps every
-    language_model linear including lm_head)."""
+    language_model linear including lm_head).
+
+    ``gemv_route`` (False/None off, else a Pallas block size in bytes or
+    True for the default): stream the head weight through the large-block
+    Pallas gemv at decode shapes. Tied heads use the transposed-orientation
+    kernel directly on the [vocab, hidden] embedding table — no transpose
+    copy."""
+    from llama32mm_tpu.ops.quant import is_quantized
+
     w = params["lm_head"]["weight"]
+    if gemv_route:
+        from llama32mm_tpu.ops.pallas.gemv import (
+            gemv_pallas,
+            gemv_t_pallas,
+            int8_gemv_pallas,
+        )
+
+        bb = None if gemv_route is True else gemv_route
+        if w is None:
+            out = gemv_t_pallas(hidden, params["model"]["tok_emb"]["weight"], block_bytes=bb)
+        elif is_quantized(w) and "q" in w:
+            out = int8_gemv_pallas(hidden, w["q"], w["scale"], block_bytes=bb)
+        elif not is_quantized(w):
+            out = gemv_pallas(hidden, w, block_bytes=bb)
+        else:  # int4: no gemv kernel — fall through to qlinear
+            return _linear(hidden, w, lora, dropout_rng, dropout_rate, impl=impl)
+        return _maybe_lora(hidden, out, lora, dropout_rng, dropout_rate)
     if w is None:
         w = params["model"]["tok_emb"]["weight"].T
     return _linear(hidden, w, lora, dropout_rng, dropout_rate, impl=impl)
@@ -544,9 +705,15 @@ def causal_lm_forward(
     dropout_rng=None,
     impl: str = "auto",
     remat: bool = False,
+    gemv_routes: Optional[dict] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """``Llama3ForCausalLM.forward`` (Model/model.py:356-361): returns
     ``(logits, kv_cache)``."""
+    gr = dict(gemv_routes) if gemv_routes else None
+    head_route = gr.pop("lm_head", None) if gr else None
+    t_small = (
+        (input_ids.shape[1] if input_ids is not None else input_embeds.shape[1]) <= 32
+    )
     out = llama_forward(
         params["model"],
         config,
@@ -559,7 +726,11 @@ def causal_lm_forward(
         dropout_rng=dropout_rng,
         impl=impl,
         remat=remat,
+        gemv_routes=gr,
     )
     head_lora = None if lora is None else lora.get("lm_head")
-    logits = lm_head_apply(params, config, out.hidden_states, lora=head_lora, impl=impl)
+    logits = lm_head_apply(
+        params, config, out.hidden_states, lora=head_lora, impl=impl,
+        gemv_route=head_route if t_small else None,
+    )
     return logits, out.kv_cache

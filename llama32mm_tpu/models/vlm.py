@@ -138,6 +138,7 @@ def vlm_forward(
     logits_positions: Optional[jax.Array] = None,
     remat: bool = False,
     loss_chunk: Optional[int] = None,
+    gemv_routes: Optional[dict] = None,
 ) -> VLMOutput:
     """Reference ``MllamaForConditionalGeneration.forward`` (``:398-440``).
 
@@ -191,6 +192,9 @@ def vlm_forward(
             lora_dropout=lora_dropout,
             impl=impl,
             remat=remat,
+            gemv_routes=None if gemv_routes is None else {
+                k: v for k, v in gemv_routes.items() if k != "lm_head"
+            },
         )
     hidden = out.hidden_states
     if logits_positions is not None:
@@ -220,9 +224,11 @@ def vlm_forward(
         if (dropout_rng is not None and head_lora is not None and lora_dropout > 0.0)
         else None
     )
+    t_small = hidden.shape[1] <= 32
     logits = lm_head_apply(
         params["language_model"], tc, hidden, lora=head_lora, impl=impl,
         dropout_rng=head_rng, dropout_rate=lora_dropout,
+        gemv_route=(gemv_routes or {}).get("lm_head") if t_small else None,
     )
 
     loss = None

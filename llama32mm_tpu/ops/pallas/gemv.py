@@ -30,6 +30,37 @@ from llama32mm_tpu.ops.pallas.common import cdiv, round_up, use_interpret
 _TARGET_BLOCK_BYTES = 14 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+_MB = 1024 * 1024
+
+
+def default_decode_routes(quantized: bool = False) -> dict:
+    """Per-weight decode-gemv routing measured on v5e (scripts/bench_gemv_ab.py,
+    round 3): each matmul routed only where a Pallas variant beat XLA's
+    schedule on that exact shape.
+
+    bf16 (3B shapes): w_down 587→729 GB/s (stacked 14M), out_proj 579→641
+    (stacked 8M), W_key/W_value 528→619 (slice 8M); W_query and gate/up
+    measured a tie or an XLA win and stay on the scanned XLA matmul.
+
+    int8 (11B shapes): lm_head 412→1011 GB/s (slice 8M — XLA's int8 gemv
+    schedule collapses on the [4096, 128k] head), W_key/W_value 588→902
+    (slice 8M), w_down 724→746 (stacked 8M); W_query/out_proj/gate/up stay
+    XLA."""
+    if quantized:
+        return {
+            "w_down": ("stacked", 8 * _MB),
+            "W_key": ("slice", 8 * _MB),
+            "W_value": ("slice", 8 * _MB),
+            "lm_head": 8 * _MB,
+        }
+    return {
+        "w_down": ("stacked", 14 * _MB),
+        "out_proj": ("stacked", 8 * _MB),
+        "W_key": ("slice", 8 * _MB),
+        "W_value": ("slice", 8 * _MB),
+        "lm_head": 14 * _MB,
+    }
+
 
 def _kernel(x_ref, w_ref, out_ref):
     out_ref[:] = jnp.dot(
@@ -189,6 +220,52 @@ def int8_gemv_stacked_pallas(
         ),
         interpret=use_interpret(),
     )(lidx, x2d, w_q, scale[:, None, :])
+    return out.reshape(*shape[:-1], n)
+
+
+def _t_kernel(x_ref, wt_ref, out_ref):
+    # wt block is [BN, K]; contract x's K with wt's K (no transpose copy —
+    # the MXU takes either operand orientation).
+    out_ref[:] = jax.lax.dot_general(
+        x_ref[:], wt_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def gemv_t_pallas(x: jax.Array, w_t: jax.Array, block_bytes: int | None = None) -> jax.Array:
+    """``x [..., K] @ w_t.T`` where the weight is stored **[N, K]** — the tied
+    lm_head case (``lm_head = tok_emb.T``, reference ``Model/model.py:363-364``):
+    the embedding table is [vocab, hidden] row-major, so streaming row blocks
+    is the contiguous orientation; transposing outside the kernel would copy
+    0.8 GB per step."""
+    shape = x.shape
+    n, k = w_t.shape
+    x2d = x.reshape(-1, k)
+    r = x2d.shape[0]
+    bn = _block_n(k, n, w_t.dtype.itemsize, block_bytes or _TARGET_BLOCK_BYTES)
+
+    out = pl.pallas_call(
+        _t_kernel,
+        grid=(cdiv(n, bn),),
+        in_specs=[
+            pl.BlockSpec((r, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * n,
+            bytes_accessed=r * k * x.dtype.itemsize + k * n * w_t.dtype.itemsize
+            + r * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(x2d, w_t)
     return out.reshape(*shape[:-1], n)
 
 

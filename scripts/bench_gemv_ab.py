@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llama32mm_tpu.ops.pallas.gemv import gemv_pallas, int8_gemv_pallas
+from llama32mm_tpu.ops.pallas.gemv import (
+    gemv_pallas,
+    gemv_stacked_pallas,
+    int8_gemv_pallas,
+    int8_gemv_stacked_pallas,
+)
 
 PASSES = 24
 
@@ -90,10 +95,41 @@ def bench_shape(name, L, K, N, rows, dtype, blocks):
             return (jnp.matmul(x, wl.astype(x.dtype)).astype(jnp.float32) * sl).astype(x.dtype)
         return jnp.matmul(x, xs)
 
+    def make_stacked(bb):
+        """Scan over a layer COUNTER; the kernel reads w[l] straight from the
+        stacked HBM array via scalar prefetch (no scan-slice copy)."""
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(w, x, n, scale=None):
+            def passes(x, _):
+                def layer(x, l):
+                    if scale is None:
+                        y = gemv_stacked_pallas(x, w, l, block_bytes=bb)
+                    else:
+                        y = int8_gemv_stacked_pallas(x, w, scale, l, block_bytes=bb)
+                    s = jnp.sum(y, axis=-1, keepdims=True).astype(jnp.float32)
+                    return (x * 0.999 + s * 1e-12).astype(x.dtype), None
+
+                x, _ = jax.lax.scan(layer, x, jnp.arange(L, dtype=jnp.int32))
+                return x, None
+
+            x, _ = jax.lax.scan(passes, x, None, length=n)
+            return x
+
+        if scale is None:
+            return lambda n: lambda: np.asarray(run(w, x, n))
+        return lambda n: lambda: np.asarray(run(w, x, n, scale))
+
     results = {}
     sec = timeit(make(xla_fn))
     results["xla"] = gb / sec
     print(f"  {name:22s} xla          {sec*1e3:7.3f} ms/pass  {gb/sec:6.1f} GB/s", flush=True)
+    for mb in blocks:
+        try:
+            sec = timeit(make_stacked(mb * 1024 * 1024))
+            results[f"stacked{mb}M"] = gb / sec
+            print(f"  {name:22s} stacked{mb:3d}M {sec*1e3:7.3f} ms/pass  {gb/sec:6.1f} GB/s", flush=True)
+        except Exception as e:
+            print(f"  {name:22s} stacked{mb:3d}M FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
     for mb in blocks:
         bb = mb * 1024 * 1024
 
