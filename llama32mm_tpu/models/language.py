@@ -665,22 +665,24 @@ def lm_head_apply(
 
     ``gemv_route`` (False/None off, else a Pallas block size in bytes or
     True for the default): stream the head weight through the large-block
-    Pallas gemv at decode shapes. Tied heads use the transposed-orientation
-    kernel directly on the [vocab, hidden] embedding table — no transpose
-    copy."""
+    Pallas gemv at decode shapes. Tied heads transpose the [vocab, hidden]
+    embedding once — under a ``while_loop`` decode XLA hoists the transpose
+    as loop-invariant, so every step streams the fast [hidden, vocab]
+    orientation (measured 719→752 GB/s vs 402 for the in-kernel transposed
+    read, ``gemv_t_pallas``, which remains available for memory-constrained
+    callers)."""
     from llama32mm_tpu.ops.quant import is_quantized
 
     w = params["lm_head"]["weight"]
     if gemv_route:
         from llama32mm_tpu.ops.pallas.gemv import (
             gemv_pallas,
-            gemv_t_pallas,
             int8_gemv_pallas,
         )
 
         bb = None if gemv_route is True else gemv_route
         if w is None:
-            out = gemv_t_pallas(hidden, params["model"]["tok_emb"]["weight"], block_bytes=bb)
+            out = gemv_pallas(hidden, params["model"]["tok_emb"]["weight"].T, block_bytes=bb)
         elif is_quantized(w) and "q" in w:
             out = int8_gemv_pallas(hidden, w["q"], w["scale"], block_bytes=bb)
         elif not is_quantized(w):

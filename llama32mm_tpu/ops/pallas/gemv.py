@@ -33,33 +33,23 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _MB = 1024 * 1024
 
 
-def default_decode_routes(quantized: bool = False) -> dict:
-    """Per-weight decode-gemv routing measured on v5e (scripts/bench_gemv_ab.py,
-    round 3): each matmul routed only where a Pallas variant beat XLA's
-    schedule on that exact shape.
+def default_decode_routes(quantized: bool = False) -> dict | None:
+    """Per-weight decode-gemv routing: only routes that won IN THE REAL
+    ENGINE survive here (scripts/bench_route_ablation.py) — the per-shape
+    isolated wins (scripts/bench_gemv_ab.py; w_down 587→729 GB/s, wk/wv
+    588→902, ...) do NOT compose with XLA's full-program overlap and measured
+    as a wash or a regression inside the decode loop (BASELINE.md round-3
+    matrix).
 
-    bf16 (3B shapes): w_down 587→729 GB/s (stacked 14M), out_proj 579→641
-    (stacked 8M), W_key/W_value 528→619 (slice 8M); W_query and gate/up
-    measured a tie or an XLA win and stay on the scanned XLA matmul.
+    int8: the [4096, 128k] int8 lm_head is the exception — XLA's dequant-gemv
+    schedule collapses on it (412 GB/s isolated) and the Pallas route wins
+    end-to-end: 69.15 → 71.72 tok/s at 11B shapes (+3.7%).
 
-    int8 (11B shapes): lm_head 412→1011 GB/s (slice 8M — XLA's int8 gemv
-    schedule collapses on the [4096, 128k] head), W_key/W_value 588→902
-    (slice 8M), w_down 724→746 (stacked 8M); W_query/out_proj/gate/up stay
-    XLA."""
+    bf16: no route survives composition; XLA's schedule stands (108.5 tok/s
+    with and without the best single route)."""
     if quantized:
-        return {
-            "w_down": ("stacked", 8 * _MB),
-            "W_key": ("slice", 8 * _MB),
-            "W_value": ("slice", 8 * _MB),
-            "lm_head": 8 * _MB,
-        }
-    return {
-        "w_down": ("stacked", 14 * _MB),
-        "out_proj": ("stacked", 8 * _MB),
-        "W_key": ("slice", 8 * _MB),
-        "W_value": ("slice", 8 * _MB),
-        "lm_head": 14 * _MB,
-    }
+        return {"lm_head": 8 * _MB}
+    return None
 
 
 def _kernel(x_ref, w_ref, out_ref):
