@@ -21,6 +21,7 @@ blocked positions get probability exactly 0 (the reference's ``-inf`` /
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -877,6 +878,13 @@ def flash_gqa_attention(
 ) -> jax.Array:
     if (k_scale is None) != (v_scale is None):
         raise ValueError("k_scale and v_scale must be given together (int8-KV mode)")
+    env = os.environ.get("LLAMA32MM_FLASH_BLOCKS", "")
+    if env:
+        # "BQ,BK" override — tuning knob; also makes interpret-mode (CPU)
+        # long-context runs tractable: the interpreter executes the grid as a
+        # python loop, so fewer/larger blocks are orders faster
+        bq_s, bk_s = env.split(",")
+        block_q, block_k = int(bq_s), int(bk_s)
     if k_scale is None:
         # float path: differentiable (custom VJP — FlashAttention-2-style
         # backward over the same structured masks)
