@@ -322,6 +322,9 @@ def repeat_kv(hidden_states: jax.Array, n_rep: int) -> jax.Array:
 class LlamaOutput(NamedTuple):
     hidden_states: jax.Array
     kv_cache: Optional[KVCache]
+    # per-layer per-channel mean-|input| of each decoder linear (calibration
+    # for activation-aware quantization, ops/awq.py) — only with collect_stats
+    stats: Optional[dict] = None
 
 
 def _block_forward(
@@ -343,8 +346,15 @@ def _block_forward(
     impl: str,
     lora_dropout: float = 0.0,
     gemv_ctx: Optional[dict] = None,
+    collect_stats: bool = False,
 ):
-    """One TransformerBlock (reference Model/model.py:265-273)."""
+    """One TransformerBlock (reference Model/model.py:265-273).
+
+    ``collect_stats``: additionally return per-channel mean-|activation|
+    statistics of each linear's INPUT (norm1 out → q/k/v, norm2 out →
+    gate/up, swiglu out → w_down) — the calibration signal for
+    activation-aware quantization (``ops/awq.py``). Tiny ([h]/[inter]) and
+    fully traced, so calibration is one ordinary forward."""
     b, t, _ = h.shape
     nq, nkv, hd = config.n_heads, config.n_kv_groups, config.head_dim
     att_p, ff_p = layer_params["att"], layer_params["ff"]
@@ -481,7 +491,14 @@ def _block_forward(
     # Residual-stream drop (parity, SURVEY §2.9 #2): return attn_out + ff_out;
     # the block input h is NOT added back.
     out = attn_out + ff_out
-    return out, k_all, v_all, ks_all, vs_all
+    stats = None
+    if collect_stats:
+        stats = {
+            "norm1_absmean": jnp.mean(jnp.abs(normed.astype(jnp.float32)), axis=(0, 1)),
+            "norm2_absmean": jnp.mean(jnp.abs(normed_ff.astype(jnp.float32)), axis=(0, 1)),
+            "inter_absmean": jnp.mean(jnp.abs(inter.astype(jnp.float32)), axis=(0, 1)),
+        }
+    return out, k_all, v_all, ks_all, vs_all, stats
 
 
 def llama_forward(
@@ -498,6 +515,7 @@ def llama_forward(
     impl: str = "auto",
     remat: bool = False,
     gemv_routes: Optional[dict] = None,
+    collect_stats: bool = False,
 ) -> LlamaOutput:
     """``Llama3Model.forward`` (reference Model/model.py:328-346).
 
@@ -618,12 +636,12 @@ def llama_forward(
         if rngs_l is not None:
             names = ("W_query", "W_key", "W_value", "out_proj", "w_gate", "w_up", "w_down")
             dropout_rngs = {n: rngs_l[i] for i, n in enumerate(names)}
-        out, k_all, v_all, ks_all, vs_all = _block_forward(
+        out, k_all, v_all, ks_all, vs_all, stats = _block_forward(
             h, layer_params, config, cos, sin, mask, structured, k_all, v_all,
             ks_all, vs_all, layer_idx, cache_pos, lora_l, dropout_rngs, impl,
-            lora_dropout, gemv_ctx,
+            lora_dropout, gemv_ctx, collect_stats,
         )
-        return (out, k_all, v_all, ks_all, vs_all), None
+        return (out, k_all, v_all, ks_all, vs_all), stats
 
     if remat:
         # prevent_cse=False: safe under scan (the standard pattern) and keeps
@@ -638,7 +656,7 @@ def llama_forward(
         kv_cache.v_scale if has_cache else None,
     )
     xs = (blocks, lora_blocks, layer_rngs, layer_ids)
-    (h, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(body, carry, xs)
+    (h, new_k, new_v, new_ks, new_vs), layer_stats = jax.lax.scan(body, carry, xs)
     new_cache = (
         KVCache(k=new_k, v=new_v, pos=kv_cache.pos + t, k_scale=new_ks, v_scale=new_vs)
         if has_cache
@@ -646,7 +664,7 @@ def llama_forward(
     )
 
     h = fused_add_rmsnorm(h, params["final_norm"]["weight"], config.rms_norm_eps, impl=impl)
-    return LlamaOutput(hidden_states=h, kv_cache=new_cache)
+    return LlamaOutput(hidden_states=h, kv_cache=new_cache, stats=layer_stats)
 
 
 def lm_head_apply(

@@ -35,6 +35,8 @@ class VLMOutput(NamedTuple):
     loss: Optional[jax.Array]
     hidden_states: jax.Array
     kv_cache: Optional[KVCache]
+    # per-layer activation calibration stats (ops/awq.py) — collect_stats only
+    stats: Optional[dict] = None
 
 
 def init_vlm_params(key: jax.Array, config: MLLAMAConfig, tie_weights: bool = True) -> dict:
@@ -139,6 +141,7 @@ def vlm_forward(
     remat: bool = False,
     loss_chunk: Optional[int] = None,
     gemv_routes: Optional[dict] = None,
+    collect_stats: bool = False,
 ) -> VLMOutput:
     """Reference ``MllamaForConditionalGeneration.forward`` (``:398-440``).
 
@@ -195,6 +198,7 @@ def vlm_forward(
             gemv_routes=None if gemv_routes is None else {
                 k: v for k, v in gemv_routes.items() if k != "lm_head"
             },
+            collect_stats=collect_stats,
         )
     hidden = out.hidden_states
     if logits_positions is not None:
@@ -216,7 +220,7 @@ def vlm_forward(
         )
         return VLMOutput(
             logits=None, loss=loss, hidden_states=out.hidden_states,
-            kv_cache=out.kv_cache,
+            kv_cache=out.kv_cache, stats=out.stats,
         )
     head_lora = None if lora is None else lora.get("lm_head")
     head_rng = (
@@ -236,7 +240,8 @@ def vlm_forward(
         loss = shifted_cross_entropy(logits, labels, config.ignore_index)
 
     return VLMOutput(
-        logits=logits, loss=loss, hidden_states=out.hidden_states, kv_cache=out.kv_cache
+        logits=logits, loss=loss, hidden_states=out.hidden_states,
+        kv_cache=out.kv_cache, stats=out.stats,
     )
 
 

@@ -156,6 +156,21 @@ _quantize_stacked_donating = jax.jit(
     lambda w: jax.lax.map(quantize_weight, w), donate_argnums=(0,)
 )
 
+# The standard int4 capacity recipe (docs/serving.md): gate/up + lm_head —
+# ~2/3 of decoder weight bytes — at int4; the error-sensitive attention
+# projections and w_down (whose error the residual stream accumulates
+# directly) stay int8. Measured quality: scripts/bench_int4_quality.py.
+INT4_MIXED_RECIPE = {
+    "w_gate": 4,
+    "w_up": 4,
+    "lm_head": 4,
+    "W_query": 8,
+    "W_key": 8,
+    "W_value": 8,
+    "out_proj": 8,
+    "w_down": 8,
+}
+
 _QUANT_TARGET_PATHS = (
     ("att", "W_query", "weight"),
     ("att", "W_key", "weight"),
@@ -176,6 +191,7 @@ def quantize_llama_params(
     free_originals: bool = False,
     bits: int = 8,
     group_size: int = 128,
+    recipe: Optional[dict] = None,
 ) -> dict:
     """Quantize the stacked text-decoder linears of a VLM/causal-LM param tree.
 
@@ -191,21 +207,34 @@ def quantize_llama_params(
     bf16 buffer is donated to its quantization call and freed immediately —
     HBM never holds both full copies (needed to serve int8 on a chip the bf16
     weights barely fit; the caller's tree is invalidated).
+
+    ``recipe``: mixed-precision override — maps a weight name (``"W_query"``,
+    ``"W_key"``, ``"W_value"``, ``"out_proj"``, ``"w_gate"``, ``"w_up"``,
+    ``"w_down"``, ``"lm_head"``) to its bits (4 or 8), taking precedence over
+    ``bits`` for that weight. The standard capacity recipe keeps the
+    error-sensitive attention + down projections int8 and puts the fat
+    gate/up (+ head) at int4 — see ``INT4_MIXED_RECIPE``.
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
+    if recipe:
+        bad = set(recipe.values()) - {4, 8}
+        if bad:
+            raise ValueError(f"recipe bits must be 4 or 8, got {sorted(bad)}")
     donate = free_originals and jax.default_backend() != "cpu"
+
     # module-level jitted fns so same-shaped leaves (W_query/out_proj,
     # w_gate/w_up) reuse one compiled executable
-    if bits == 4:
-        q1 = lambda w: quantize_weight_int4(w, group_size)  # noqa: E731
-        q_leaf = jax.jit(
-            lambda w: jax.lax.map(q1, w), donate_argnums=(0,) if donate else ()
-        )
-        head_q = q1
-    else:
-        q_leaf = _quantize_stacked_donating if donate else _quantize_stacked
-        head_q = quantize_weight
+    q1_int4 = lambda w: quantize_weight_int4(w, group_size)  # noqa: E731
+    q_leaf4 = jax.jit(
+        lambda w: jax.lax.map(q1_int4, w), donate_argnums=(0,) if donate else ()
+    )
+    q_leaf8 = _quantize_stacked_donating if donate else _quantize_stacked
+
+    def bits_for(name: str) -> int:
+        if recipe and name in recipe:
+            return recipe[name]
+        return bits
 
     lm = params.get("language_model", params)
     blocks = lm["model"]["blocks"]
@@ -217,13 +246,15 @@ def quantize_llama_params(
             if isinstance(leaf, dict):
                 out[name] = rewrite(leaf, p)
             elif p in _QUANT_TARGET_PATHS:
-                if bits == 4 and p[-2] in ("W_qkv", "w_gateup"):
+                wname = p[-1] if p[-1] != "weight" else p[-2]
+                b = bits_for(wname)
+                if b == 4 and p[-2] in ("W_qkv", "w_gateup"):
                     raise ValueError(
                         "int4 grouping runs along the contraction dim; the "
                         "serving-fused [L, H, tp, chunk] layout is not "
                         "supported — int4 serves the unfused layout only"
                     )
-                out[name] = q_leaf(leaf)
+                out[name] = (q_leaf4 if b == 4 else q_leaf8)(leaf)
             else:
                 out[name] = leaf
         return out
@@ -233,6 +264,7 @@ def quantize_llama_params(
     new_lm = {**lm, "model": new_model}
 
     if quantize_lm_head and lm.get("lm_head", {}).get("weight") is not None:
+        head_q = q1_int4 if bits_for("lm_head") == 4 else quantize_weight
         new_lm = {**new_lm, "lm_head": {"weight": head_q(lm["lm_head"]["weight"])}}
 
     if "language_model" in params:

@@ -45,7 +45,7 @@ from llama32mm_tpu.train.lora import init_lora_params, make_lora_train_step
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=65536)
-    ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--block", type=int, default=8192)
     args = ap.parse_args()
 
     cfg = MLLAMAConfig(
@@ -60,7 +60,14 @@ def main():
         ),
         projection_dim=64, hidden_size=64, image_token_index=500,
     )
-    mesh = create_mesh(dp=1, tp=2, sp=4)
+    # tp=1, sp=8: all 8 virtual devices on the ring. XLA:CPU's collective
+    # rendezvous ABORTS the process if any device spends >40 s between
+    # collectives (rendezvous.cc termination timeout, no flag to raise it) —
+    # 8-way sp quarters each ring step's interpret-mode work vs sp=4, and
+    # whole-chunk flash blocks (set LLAMA32MM_FLASH_BLOCKS=8192,8192) keep the
+    # python-interpreted grid tiny.
+    mesh = create_mesh(dp=1, tp=1, sp=8)
+    os.environ.setdefault("LLAMA32MM_FLASH_BLOCKS", f"{args.block},{args.block}")
     params = shard_params(init_vlm_params(jax.random.PRNGKey(0), cfg), cfg, mesh)
     lora = init_lora_params(jax.random.PRNGKey(1), cfg.text_config, rank=4)
 
@@ -96,7 +103,7 @@ def main():
     g = jax.tree.leaves(new_state.lora)[0]
     assert bool(jnp.all(jnp.isfinite(g))), "non-finite adapter update"
     print(json.dumps({
-        "seq": s, "mesh": {"tp": 2, "sp": 4}, "loss": round(loss, 4),
+        "seq": s, "mesh": {"tp": 1, "sp": 8}, "loss": round(loss, 4),
         "step_s": round(t_step, 1), "compile_s": round(t_compile, 1),
         "collective_permutes": n_cp, "all_gathers": n_ag,
         "remat": True, "loss_chunk": 2048, "ring": n_cp > 0,
