@@ -6,6 +6,7 @@ from llama32mm_tpu.parallel.sharding import (
     param_shardings,
     seq_data_sharding,
     shard_params,
+    zero1_shardings,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "param_shardings",
     "seq_data_sharding",
     "shard_params",
+    "zero1_shardings",
 ]

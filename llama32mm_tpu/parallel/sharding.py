@@ -137,6 +137,44 @@ def seq_data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return _ns(mesh, AXIS_DP, AXIS_SP, *([None] * (ndim - 2)))
 
 
+def _zero1_extend(sharding: NamedSharding, shape, axis: str) -> NamedSharding:
+    """Extend a parameter's NamedSharding with ``axis`` on its largest
+    still-unsharded, divisible dimension (ZeRO-style optimizer partitioning).
+    Returns the input sharding unchanged when no dimension qualifies or the
+    axis has size 1."""
+    if not isinstance(sharding, NamedSharding):
+        return sharding  # unplaced / single-device leaf: nothing to extend
+    mesh = sharding.mesh
+    if axis not in mesh.shape or mesh.shape[axis] == 1:
+        return sharding
+    spec = list(sharding.spec) + [None] * (len(shape) - len(sharding.spec))
+    used = {a for s in spec if s is not None for a in ((s,) if isinstance(s, str) else tuple(s))}
+    if axis in used:
+        return sharding
+    size = mesh.shape[axis]
+    best_dim, best = -1, 0
+    for d, s in enumerate(spec):
+        if s is None and shape[d] % size == 0 and shape[d] > best:
+            best, best_dim = shape[d], d
+    if best_dim < 0:
+        return sharding
+    spec[best_dim] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def zero1_shardings(params, axis: str = AXIS_DP):
+    """ZeRO-1 optimizer-state shardings: for every param leaf, the sharding it
+    already has (tp layout) *extended* over ``axis`` on the largest unsharded
+    divisible dim. Adam moments placed this way occupy 1/|axis| of the
+    TP-only layout per chip; GSPMD turns the surrounding train step into the
+    ZeRO dataflow automatically (reduce-scattered grads in, all-gathered
+    updates out). Accepts concrete arrays or ``ShapeDtypeStruct``s (anything
+    with ``.sharding``/``.shape``). SURVEY §2.8: the reference has no
+    distributed training at all; this is the TPU-native optimizer-sharding
+    layer a 90B full fine-tune requires (docs/AOT_NORTHSTAR.md)."""
+    return jax.tree.map(lambda p: _zero1_extend(p.sharding, p.shape, axis), params)
+
+
 def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
     """Place a param tree onto the mesh with the TP layout. Handles int8
     quantized leaves (``{"q", "scale"}``): the int8 tensor takes the float

@@ -1,6 +1,7 @@
 from llama32mm_tpu.train.full import (
     FullTrainState,
     load_full_train_state,
+    make_optimizer,
     make_train_step,
     save_full_train_state,
     split_trainable,
@@ -21,6 +22,7 @@ from llama32mm_tpu.train.lora import (
 __all__ = [
     "FullTrainState",
     "load_full_train_state",
+    "make_optimizer",
     "make_train_step",
     "save_full_train_state",
     "split_trainable",

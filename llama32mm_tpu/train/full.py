@@ -16,6 +16,18 @@ full fine-tuning. TPU-first design:
   the parameter shardings (``tx.init`` is elementwise over sharded arrays), so
   a tp/dp-sharded model trains with tp/dp-sharded moments with no extra code —
   verified in ``tests/test_full_train.py`` on the virtual mesh.
+- **ZeRO-style optimizer partitioning** (``zero1_params=...``): TP-only
+  optimizer layout does not fit 90B full FT on v5p-16 (fp32 masters + two
+  Adam moments = 12 bytes/param = 135 GB/chip at tp=8 — docs/AOT_NORTHSTAR.md).
+  Passing the sharded param tree as ``zero1_params`` extends every moment's
+  sharding over the ``dp`` axis (``parallel.zero1_shardings``); gradients are
+  constrained to the same layout so GSPMD reduce-scatters them, the Adam
+  update computes sharded, and the new params are constrained back to the
+  compute layout (XLA all-gathers the updates) — the ZeRO-1 dataflow from
+  sharding annotations alone. ``zero1_masters=True`` additionally keeps the
+  fp32 masters dp-sharded (ZeRO-3-style), casting to ``compute_dtype``
+  *before* the gather so weights cross ICI in bf16 and the backward
+  reduce-scatter also runs in bf16.
 - Composes with ``remat=True`` (scan-over-remat decoder) and
   ``loss_chunk=N`` (chunked shifted-CE) for long-context training, same as
   the LoRA path.
@@ -54,6 +66,26 @@ def split_trainable(params: dict, freeze_vision: bool = False):
     return trainable, frozen
 
 
+def make_optimizer(
+    learning_rate=1e-5,
+    weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+):
+    """The exact optax chain ``make_train_step`` trains with (exposed so AOT
+    tooling can rebuild the identical opt-state tree structure)."""
+    import optax
+
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(
+        optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    )
+    return optax.chain(*chain)
+
+
 def make_train_step(
     config: MLLAMAConfig,
     learning_rate=1e-5,
@@ -66,6 +98,9 @@ def make_train_step(
     impl: str = "auto",
     remat: bool = False,
     loss_chunk: Optional[int] = None,
+    zero1_params: Optional[dict] = None,
+    zero1_axis: str = "dp",
+    zero1_masters: bool = False,
 ):
     """Build ``(init_state, train_step)`` for full fine-tuning.
 
@@ -74,17 +109,27 @@ def make_train_step(
     ``max_grad_norm`` is set). ``learning_rate`` may be a float or an optax
     schedule. ``batch``: ``input_ids`` / ``labels`` (+ optional
     ``pixel_values`` / ``attention_mask``), as in the LoRA path.
+
+    ``zero1_params``: the GSPMD-sharded param tree (or ShapeDtypeStructs with
+    shardings attached) — enables ZeRO-1 optimizer partitioning over
+    ``zero1_axis`` (see module docstring). ``zero1_masters=True`` also keeps
+    the masters themselves partitioned.
     """
     import optax
 
-    chain = []
-    if max_grad_norm is not None:
-        chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(
-        optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
-    )
-    tx = optax.chain(*chain)
+    tx = make_optimizer(learning_rate, weight_decay, max_grad_norm, b1, b2)
     cdt = None if compute_dtype is None else jnp.dtype(compute_dtype)
+
+    if zero1_params is not None:
+        from llama32mm_tpu.parallel.sharding import zero1_shardings
+
+        _z1_like, _ = split_trainable(zero1_params, freeze_vision)
+        # compute layout = the shardings the forward/backward runs in
+        _compute_shd = jax.tree.map(lambda p: p.sharding, _z1_like)
+        # optimizer layout = compute layout extended over the zero1 axis
+        _z1_shd = zero1_shardings(_z1_like, axis=zero1_axis)
+    else:
+        _compute_shd = _z1_shd = None
 
     def init_state(params: dict) -> FullTrainState:
         # Call EAGERLY on (sharded) arrays: eager ``tx.init`` zeros inherit
@@ -92,10 +137,17 @@ def make_train_step(
         # model with no extra code. (Under jit the compiler would be free to
         # re-shard the freshly created zeros.)
         trainable, frozen = split_trainable(params, freeze_vision)
+        opt_state = tx.init(trainable)
+        if _z1_shd is not None:
+            opt_state = optax.tree_map_params(
+                tx, lambda leaf, s: jax.device_put(leaf, s), opt_state, _z1_shd
+            )
+            if zero1_masters:
+                trainable = jax.tree.map(jax.device_put, trainable, _z1_shd)
         return FullTrainState(
             params=trainable,
             frozen=frozen,
-            opt_state=tx.init(trainable),
+            opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -108,8 +160,16 @@ def make_train_step(
         )
 
     def loss_fn(trainable, frozen, batch, rng):
+        trainable = _cast(trainable)
+        if zero1_masters and _compute_shd is not None:
+            # Masters live dp-sharded; gather to the compute (tp) layout
+            # AFTER the downcast so the all-gather moves compute_dtype bytes
+            # and its transpose (the grad reduce-scatter) does too.
+            trainable = jax.tree.map(
+                jax.lax.with_sharding_constraint, trainable, _compute_shd
+            )
         out = vlm_forward(
-            {**_cast(frozen), **_cast(trainable)},
+            {**_cast(frozen), **trainable},
             config,
             input_ids=batch["input_ids"],
             pixel_values=batch.get("pixel_values"),
@@ -126,8 +186,29 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, state.frozen, batch, rng
         )
+        if _z1_shd is not None:
+            # reduce-scatter the grads into the optimizer layout: the Adam
+            # update then computes 1/|dp| of every moment per chip
+            grads = jax.tree.map(
+                jax.lax.with_sharding_constraint, grads, _z1_shd
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if _z1_shd is not None:
+            opt_state = optax.tree_map_params(
+                tx,
+                lambda leaf, s: jax.lax.with_sharding_constraint(leaf, s),
+                opt_state,
+                _z1_shd,
+            )
         params = optax.apply_updates(state.params, updates)
+        if _z1_shd is not None:
+            # all-gather the sharded updates back into the params' layout
+            # (masters stay partitioned when zero1_masters)
+            params = jax.tree.map(
+                jax.lax.with_sharding_constraint,
+                params,
+                _z1_shd if zero1_masters else _compute_shd,
+            )
         return (
             FullTrainState(
                 params=params,

@@ -182,10 +182,97 @@ def train_case(name, cfg, mesh, batch, seq_len, rank=16, loss_chunk=1024):
     )
 
 
+def full_train_case(name, cfg, mesh, batch, seq_len, loss_chunk=1024,
+                    zero1=True, zero1_masters=True, donate=True):
+    """90B FULL fine-tune step: fp32 masters + AdamW moments. TP-only this is
+    12 B/param = 135 GB/chip at tp=8 (docs/AOT_NORTHSTAR.md) — does not fit a
+    v5p. ZeRO partitioning (train/full.py zero1_params/zero1_masters) shards
+    the optimizer state (and optionally the masters) over dp as well; this
+    case lets the compiler's memory_analysis decide whether it fits."""
+    from llama32mm_tpu.train.full import (
+        FullTrainState, make_optimizer, make_train_step, split_trainable,
+    )
+    from llama32mm_tpu.parallel.sharding import zero1_shardings
+    import optax
+
+    tc = cfg.text_config
+    repl = NamedSharding(mesh, P())
+    params = abstract_params(cfg, mesh)
+    trainable, frozen = split_trainable(params, freeze_vision=True)
+
+    def to_master(sds):  # fp32 masters, same GSPMD layout as the bf16 weights
+        dt = jnp.float32 if jnp.issubdtype(sds.dtype, jnp.floating) else sds.dtype
+        return jax.ShapeDtypeStruct(sds.shape, dt, sharding=sds.sharding)
+
+    masters = jax.tree.map(to_master, trainable)
+    z1 = zero1_shardings(masters, axis="dp") if zero1 else jax.tree.map(
+        lambda p: p.sharding, masters
+    )
+    if zero1 and zero1_masters:
+        masters = jax.tree.map(
+            lambda sds, s: jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=s),
+            masters, z1,
+        )
+
+    tx = make_optimizer(learning_rate=1e-5)
+    opt_shapes = jax.eval_shape(tx.init, masters)
+    opt_state = optax.tree_map_params(
+        tx,
+        lambda sds, s: jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=s),
+        opt_shapes, z1,
+    )
+    opt_state = jax.tree.map(  # non-param leaves (adam counts): replicate
+        lambda sds: sds if sds.sharding is not None
+        else jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=repl),
+        opt_state,
+    )
+    state = FullTrainState(
+        params=masters,
+        frozen=frozen,
+        opt_state=opt_state,
+        step=jax.ShapeDtypeStruct((), jnp.int32, sharding=repl),
+    )
+
+    zp = {**frozen, **masters} if zero1 else None
+    init_unused, step = make_train_step(
+        cfg, learning_rate=1e-5, freeze_vision=True, compute_dtype="bfloat16",
+        remat=True, loss_chunk=loss_chunk,
+        zero1_params=zp, zero1_masters=zero1_masters,
+    )
+
+    dp = NamedSharding(mesh, P("dp")) if mesh.shape.get("dp", 1) > 1 else repl
+    dp2 = NamedSharding(mesh, P("dp", None)) if mesh.shape.get("dp", 1) > 1 else repl
+    dp4 = (
+        NamedSharding(mesh, P("dp", None, None, None))
+        if mesh.shape.get("dp", 1) > 1 else repl
+    )
+    batch_abs = {
+        "input_ids": jax.ShapeDtypeStruct((batch, seq_len), jnp.int32, sharding=dp2),
+        "pixel_values": jax.ShapeDtypeStruct(
+            (batch, 3, cfg.vision_config.image_size, cfg.vision_config.image_size),
+            tc.jnp_dtype, sharding=dp4,
+        ),
+        "labels": jax.ShapeDtypeStruct((batch, seq_len), jnp.int32, sharding=dp2),
+    }
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=repl)
+
+    t0 = time.perf_counter()
+    jitted = jax.jit(step, donate_argnums=(0,)) if donate else jax.jit(step)
+    compiled = jitted.lower(state, batch_abs, rng).compile()
+    return report(
+        name, mesh, compiled, time.perf_counter() - t0,
+        extra={"batch": batch, "seq_len": seq_len, "loss_chunk": loss_chunk,
+               "remat": True, "zero1": zero1, "zero1_masters": zero1_masters,
+               "donated": donate, "masters_dtype": "float32",
+               "compute_dtype": "bfloat16"},
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="all",
-                    choices=["all", "11b_serve", "90b_serve", "90b_train"])
+                    choices=["all", "11b_serve", "90b_serve", "90b_train",
+                             "90b_full_train"])
     args = ap.parse_args()
 
     if args.case in ("all", "11b_serve"):
@@ -206,6 +293,12 @@ def main():
         cfg = llama32_90b_vision_config("bfloat16", max_cache_length=4096)
         mesh = build_mesh("v5p:4x4", (2, 1, 8), ("dp", "sp", "tp"))
         train_case("90b_lora_train_v5p16", cfg, mesh, batch=2, seq_len=4096)
+
+    if args.case in ("all", "90b_full_train"):
+        cfg = llama32_90b_vision_config("bfloat16", max_cache_length=4096)
+        mesh = build_mesh("v5p:4x4", (2, 1, 8), ("dp", "sp", "tp"))
+        full_train_case("90b_full_train_v5p16_zero1", cfg, mesh,
+                        batch=2, seq_len=4096, zero1=True, zero1_masters=True)
 
 
 if __name__ == "__main__":

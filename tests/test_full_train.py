@@ -125,6 +125,62 @@ def test_sharded_moments_inherit_param_sharding(tiny):
         assert m.sharding.is_equivalent_to(w.sharding, m.ndim)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("masters", [False, True])
+def test_zero1_partitions_moments_and_matches_unsharded(tiny, masters):
+    """ZeRO-1 (zero1_params=...): Adam moments carry the param sharding
+    EXTENDED over dp, and N steps produce the same params as the TP-only
+    layout (the reduce-scatter/all-gather dataflow is numerics-neutral)."""
+    from llama32mm_tpu.parallel import create_mesh, shard_params, zero1_shardings
+
+    cfg, params = tiny
+    mesh = create_mesh(dp=2, tp=4)
+    sharded = shard_params(params, cfg, mesh)
+
+    init0, step0 = make_train_step(cfg, learning_rate=1e-3)
+    init1, step1 = make_train_step(
+        cfg, learning_rate=1e-3, zero1_params=sharded, zero1_masters=masters
+    )
+    s0, s1 = init0(sharded), init1(sharded)
+
+    w = sharded["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"]
+    z1 = zero1_shardings({"w": w})["w"]
+    assert not z1.is_equivalent_to(w.sharding, w.ndim)  # dp really extends it
+
+    want_path = ("language_model", "model", "blocks", "att", "W_query", "weight")
+
+    def moment_leaves(opt_state):
+        out = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+            keys = tuple(
+                p.key for p in path if isinstance(p, jax.tree_util.DictKey)
+            )
+            if keys[-len(want_path):] == want_path and hasattr(leaf, "sharding"):
+                out.append(leaf)
+        return out
+
+    for m in moment_leaves(s1.opt_state):
+        assert m.sharding.is_equivalent_to(z1, m.ndim), (m.sharding, z1)
+    if masters:
+        w1 = s1.params["language_model"]["model"]["blocks"]["att"]["W_query"]["weight"]
+        assert w1.sharding.is_equivalent_to(z1, w1.ndim)
+
+    batch = _batch(cfg)
+    j0, j1 = jax.jit(step0), jax.jit(step1)
+    for i in range(3):
+        s0, l0 = j0(s0, batch, jax.random.PRNGKey(i))
+        s1, l1 = j1(s1, batch, jax.random.PRNGKey(i))
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-5)
+    # moments STAY partitioned across steps
+    for m in moment_leaves(s1.opt_state):
+        assert m.sharding.is_equivalent_to(z1, m.ndim)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        # reduce-scatter/all-gather changes the fp32 reduction order slightly
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-4
+        )
+
+
 def test_save_resume_roundtrip(tiny, tmp_path):
     cfg, params = tiny
     from llama32mm_tpu.train.full import (
