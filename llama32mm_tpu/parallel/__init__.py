@@ -1,4 +1,10 @@
 from llama32mm_tpu.parallel.mesh import create_mesh
+from llama32mm_tpu.parallel.pipeline import (
+    make_pipeline_train_step,
+    pipeline_causal_lm_loss,
+    pipeline_decoder_hidden,
+    pipeline_shard_params,
+)
 from llama32mm_tpu.parallel.sharding import (
     data_sharding,
     kv_cache_sharding,
@@ -14,7 +20,11 @@ __all__ = [
     "data_sharding",
     "kv_cache_sharding",
     "lora_shardings",
+    "make_pipeline_train_step",
     "param_shardings",
+    "pipeline_causal_lm_loss",
+    "pipeline_decoder_hidden",
+    "pipeline_shard_params",
     "seq_data_sharding",
     "shard_params",
     "zero1_shardings",

@@ -38,7 +38,7 @@ def batch(tiny):
 
 def test_mesh_creation():
     mesh = create_mesh(dp=2, tp=4)
-    assert mesh.shape == {"dp": 2, "sp": 1, "tp": 4}
+    assert mesh.shape == {"dp": 2, "pp": 1, "sp": 1, "tp": 4}
     with pytest.raises(ValueError, match="needs"):
         create_mesh(dp=4, tp=4)
     with pytest.raises(ValueError, match="needs"):
