@@ -12,6 +12,7 @@ from llama32mm_tpu.parallel.sharding import (
     param_shardings,
     seq_data_sharding,
     shard_params,
+    vision_block_shardings,
     zero1_shardings,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "pipeline_shard_params",
     "seq_data_sharding",
     "shard_params",
+    "vision_block_shardings",
     "zero1_shardings",
 ]

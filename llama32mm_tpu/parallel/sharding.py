@@ -68,8 +68,39 @@ def fused_block_shardings(mesh: Mesh) -> dict:
     }
 
 
-def param_shardings(config: MLLAMAConfig, mesh: Mesh, params_like: Optional[dict] = None) -> dict:
-    """Sharding tree matching ``init_vlm_params`` structure."""
+def vision_block_shardings(mesh: Mesh) -> dict:
+    """Tensor-parallel ViT tower: MHSA head axis (q/k/v out-dims + their
+    biases) and MLP intermediate axis sharded over ``tp``; out_proj/fc2
+    contract over the sharded axis (GSPMD inserts the psum). The default
+    layout keeps vision replicated (SURVEY §7 — it is small next to the
+    decoder); sharding it instead cuts the vision-tower slice of TTFT ~tp×
+    at 11B/90B scale, where the 32-layer ViT-H over 1600 patches is pure
+    replicated latency on every image."""
+    return {
+        "layernorm1": {"weight": _ns(mesh, None, None), "bias": _ns(mesh, None, None)},
+        "self_attn": {
+            "q_proj": {"weight": _ns(mesh, None, None, AXIS_TP), "bias": _ns(mesh, None, AXIS_TP)},
+            "k_proj": {"weight": _ns(mesh, None, None, AXIS_TP), "bias": _ns(mesh, None, AXIS_TP)},
+            "v_proj": {"weight": _ns(mesh, None, None, AXIS_TP), "bias": _ns(mesh, None, AXIS_TP)},
+            "out_proj": {"weight": _ns(mesh, None, AXIS_TP, None), "bias": _ns(mesh, None, None)},
+        },
+        "layernorm2": {"weight": _ns(mesh, None, None), "bias": _ns(mesh, None, None)},
+        "mlp": {
+            "fc1": {"weight": _ns(mesh, None, None, AXIS_TP), "bias": _ns(mesh, None, AXIS_TP)},
+            "fc2": {"weight": _ns(mesh, None, AXIS_TP, None), "bias": _ns(mesh, None, None)},
+        },
+    }
+
+
+def param_shardings(
+    config: MLLAMAConfig,
+    mesh: Mesh,
+    params_like: Optional[dict] = None,
+    vision_tp: bool = False,
+) -> dict:
+    """Sharding tree matching ``init_vlm_params`` structure. ``vision_tp``
+    shards the ViT tower over ``tp`` (see ``vision_block_shardings``)
+    instead of replicating it."""
     lm = {
         "tok_emb": {"weight": _ns(mesh, AXIS_TP, None)},  # vocab sharded
         "blocks": text_block_shardings(mesh),
@@ -95,6 +126,9 @@ def param_shardings(config: MLLAMAConfig, mesh: Mesh, params_like: Optional[dict
             lambda k: init_vision_params(k, config.vision_config), jax.random.PRNGKey(0)
         )
         tree["vision_model"] = _replicate_tree(shapes, mesh)
+    if vision_tp:
+        tree["vision_model"] = dict(tree["vision_model"])
+        tree["vision_model"]["layers"] = vision_block_shardings(mesh)
     return tree
 
 
@@ -175,13 +209,16 @@ def zero1_shardings(params, axis: str = AXIS_DP):
     return jax.tree.map(lambda p: _zero1_extend(p.sharding, p.shape, axis), params)
 
 
-def shard_params(params: dict, config: MLLAMAConfig, mesh: Mesh) -> dict:
+def shard_params(
+    params: dict, config: MLLAMAConfig, mesh: Mesh, vision_tp: bool = False
+) -> dict:
     """Place a param tree onto the mesh with the TP layout. Handles int8
     quantized leaves (``{"q", "scale"}``): the int8 tensor takes the float
-    weight's sharding; the per-channel scale shards on the same output axis."""
+    weight's sharding; the per-channel scale shards on the same output axis.
+    ``vision_tp`` shards the ViT tower too (``vision_block_shardings``)."""
     from llama32mm_tpu.ops.quant import is_quantized
 
-    spec_tree = param_shardings(config, mesh, params_like=params)
+    spec_tree = param_shardings(config, mesh, params_like=params, vision_tp=vision_tp)
 
     def walk(p, s):
         if p is None:
