@@ -32,7 +32,7 @@ the tp layout is strictly better there at these scales).
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Optional
 
 import jax
@@ -191,16 +191,26 @@ def pipeline_causal_lm_loss(
     *,
     ignore_index: int = -100,
     remat: bool = False,
+    loss_chunk: Optional[int] = None,
     impl: str = "xla",
 ) -> jax.Array:
     """Shifted next-token CE through the pipelined decoder (text-only
-    training path; embedding / lm_head replicated, blocks staged over pp)."""
+    training path; embedding / lm_head replicated, blocks staged over pp).
+    ``loss_chunk`` streams positions through lm_head + fp32 log-softmax in
+    chunks (``chunked_shifted_cross_entropy``) — required at real vocab
+    sizes where full ``[B, T, V]`` logits cannot materialize."""
     ids = jnp.clip(input_ids, 0, config.vocab_size - 1)
     h = params["model"]["tok_emb"]["weight"][ids]
     h = h * jnp.asarray(math.sqrt(config.hidden_size), h.dtype)
     h = pipeline_decoder_hidden(
         params["model"], config, h, mesh, n_microbatches, remat=remat, impl=impl
     )
+    if loss_chunk:
+        from llama32mm_tpu.models.vlm import chunked_shifted_cross_entropy
+
+        return chunked_shifted_cross_entropy(
+            params, config, h, labels, ignore_index, chunk=loss_chunk, impl=impl
+        )
     logits = lm_head_apply(params, config, h, impl=impl)
     return shifted_cross_entropy(logits.astype(jnp.float32), labels, ignore_index)
 
@@ -212,6 +222,7 @@ def make_pipeline_train_step(
     learning_rate: float = 1e-4,
     *,
     remat: bool = False,
+    loss_chunk: Optional[int] = None,
     impl: str = "xla",
 ):
     """(init_state, step) training ALL text params through the pipelined
@@ -230,7 +241,7 @@ def make_pipeline_train_step(
         def loss_fn(p):
             return pipeline_causal_lm_loss(
                 p, config, batch["input_ids"], batch["labels"], mesh,
-                n_microbatches, remat=remat, impl=impl,
+                n_microbatches, remat=remat, loss_chunk=loss_chunk, impl=impl,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])

@@ -50,9 +50,9 @@ def build_mesh(topo_name: str, shape: tuple, axes: tuple) -> Mesh:
     return Mesh(np.array(topo.devices).reshape(shape), axes)
 
 
-def abstract_params(cfg, mesh):
+def abstract_params(cfg, mesh, vision_tp=False):
     pshapes = jax.eval_shape(lambda k: init_vlm_params(k, cfg), jax.random.PRNGKey(0))
-    stree = param_shardings(cfg, mesh, params_like=pshapes)
+    stree = param_shardings(cfg, mesh, params_like=pshapes, vision_tp=vision_tp)
 
     def attach(ss, sh):
         return None if ss is None else jax.ShapeDtypeStruct(ss.shape, ss.dtype, sharding=sh)
@@ -95,11 +95,12 @@ def report(name, mesh, compiled, t_compile, extra=None):
     return rec
 
 
-def serve_case(name, cfg, mesh, batch, prompt_len, max_new, cache_len):
+def serve_case(name, cfg, mesh, batch, prompt_len, max_new, cache_len,
+               vision_tp=False):
     from llama32mm_tpu.inference.engine import InferenceEngine
 
     tc = cfg.text_config
-    params = abstract_params(cfg, mesh)
+    params = abstract_params(cfg, mesh, vision_tp=vision_tp)
     eng = InferenceEngine(params, cfg, max_cache_length=cache_len, gemv_routes=None)
     gen = eng._make_generate(max_new, 0.0, 0.9, 50, -1, True)
 
@@ -268,11 +269,76 @@ def full_train_case(name, cfg, mesh, batch, seq_len, loss_chunk=1024,
     )
 
 
+def pp_train_case(name, cfg, mesh, batch, seq_len, n_microbatches,
+                  loss_chunk=1024):
+    """90B text-decoder FULL-param Adam step through the pp pipeline
+    (parallel/pipeline.py): blocks + their Adam moments live stage-local
+    (1/pp per chip); embedding/lm_head replicated. The compiler's
+    memory_analysis decides whether the GPipe layout fits."""
+    import optax
+
+    from llama32mm_tpu.models.language import init_causal_lm_params
+    from llama32mm_tpu.parallel.pipeline import (
+        make_pipeline_train_step, pipeline_param_specs,
+    )
+
+    tc = cfg.text_config
+    repl = NamedSharding(mesh, P())
+    pshapes = jax.eval_shape(
+        lambda k: init_causal_lm_params(k, tc), jax.random.PRNGKey(0)
+    )
+    spec_tree = {"model": pipeline_param_specs(pshapes["model"]),
+                 "lm_head": jax.tree.map(lambda _: P(), pshapes["lm_head"])}
+
+    def attach(ss, spec):
+        return None if ss is None else jax.ShapeDtypeStruct(
+            ss.shape, ss.dtype, sharding=NamedSharding(mesh, spec)
+        )
+
+    params = jax.tree.map(attach, pshapes, spec_tree, is_leaf=lambda x: x is None)
+    tx = optax.adam(1e-4)
+    opt_shapes = jax.eval_shape(tx.init, pshapes)
+    opt = optax.tree_map_params(
+        tx,
+        lambda ss, p: None if ss is None else jax.ShapeDtypeStruct(
+            ss.shape, ss.dtype, sharding=p.sharding
+        ),
+        opt_shapes, params,
+    )
+    opt = jax.tree.map(
+        lambda ss: ss if isinstance(ss, jax.ShapeDtypeStruct) and ss.sharding is not None
+        else (None if ss is None else jax.ShapeDtypeStruct(ss.shape, ss.dtype, sharding=repl)),
+        opt, is_leaf=lambda x: x is None or isinstance(x, jax.ShapeDtypeStruct),
+    )
+    state = {"params": params, "opt": opt,
+             "step": jax.ShapeDtypeStruct((), jnp.int32, sharding=repl)}
+
+    dp = NamedSharding(mesh, P("dp")) if mesh.shape.get("dp", 1) > 1 else repl
+    batch_abs = {
+        "input_ids": jax.ShapeDtypeStruct((batch, seq_len), jnp.int32, sharding=dp),
+        "labels": jax.ShapeDtypeStruct((batch, seq_len), jnp.int32, sharding=dp),
+    }
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=repl)
+
+    init_unused, step = make_pipeline_train_step(
+        tc, mesh, n_microbatches=n_microbatches, learning_rate=1e-4,
+        remat=True, loss_chunk=loss_chunk,
+    )
+    t0 = time.perf_counter()
+    compiled = jax.jit(step, donate_argnums=(0,)).lower(state, batch_abs, rng).compile()
+    return report(
+        name, mesh, compiled, time.perf_counter() - t0,
+        extra={"batch": batch, "seq_len": seq_len, "microbatches": n_microbatches,
+               "loss_chunk": loss_chunk, "remat": True, "dtype": tc.dtype,
+               "pp": mesh.shape.get("pp", 1), "full_param_adam": True},
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="all",
                     choices=["all", "11b_serve", "90b_serve", "90b_train",
-                             "90b_full_train"])
+                             "90b_full_train", "11b_serve_vtp", "90b_pp_train"])
     args = ap.parse_args()
 
     if args.case in ("all", "11b_serve"):
@@ -281,6 +347,14 @@ def main():
         mesh = build_mesh("v5e:2x4", (1, 1, 8), ("dp", "sp", "tp"))
         serve_case("11b_bf16_serve_v5e8", cfg, mesh, batch=1,
                    prompt_len=1632, max_new=128, cache_len=2048)
+
+    if args.case in ("all", "11b_serve_vtp"):
+        # same layout with the ViT tower TP-sharded (vision_tp=True): the
+        # TTFT lever — vision FLOPs/chip drop ~8×
+        cfg = llama32_11b_vision_config("bfloat16", max_cache_length=2048)
+        mesh = build_mesh("v5e:2x4", (1, 1, 8), ("dp", "sp", "tp"))
+        serve_case("11b_bf16_serve_v5e8_vision_tp", cfg, mesh, batch=1,
+                   prompt_len=1632, max_new=128, cache_len=2048, vision_tp=True)
 
     if args.case in ("all", "90b_serve"):
         # v5p-16: tp=8 (kv heads divide), dp=2 serving replicas
@@ -299,6 +373,13 @@ def main():
         mesh = build_mesh("v5p:4x4", (2, 1, 8), ("dp", "sp", "tp"))
         full_train_case("90b_full_train_v5p16_zero1", cfg, mesh,
                         batch=2, seq_len=4096, zero1=True, zero1_masters=True)
+
+    if args.case in ("all", "90b_pp_train"):
+        # pipeline layout: 16 stages × 5 layers, text decoder full-param Adam
+        cfg = llama32_90b_vision_config("bfloat16", max_cache_length=4096)
+        mesh = build_mesh("v5p:4x4", (1, 16), ("dp", "pp"))
+        pp_train_case("90b_pp_train_v5p16", cfg, mesh, batch=8, seq_len=4096,
+                      n_microbatches=8)
 
 
 if __name__ == "__main__":
