@@ -20,13 +20,16 @@ clean native form because the decoder blocks are ALREADY a stacked-params
   ``remat=True`` gives the standard "recompute within a stage" memory
   profile (activations saved only at microbatch/stage boundaries).
 
-Composition: ``pp × dp`` (batch axis sharded over ``dp`` as usual — specs
-here mention only ``pp`` and the batch axis, GSPMD handles the rest).
-``tp``/``sp`` inside a stage are not wired into the manual region yet — use
-tp-only or pp×dp layouts; the mesh keeps all axes so one program can choose
-per-step. Serving/decode stays on the GSPMD tp path (a bubble-free decode
-pipeline needs continuous batching across requests, not microbatching —
-the tp layout is strictly better there at these scales).
+Composition: only ``pp`` is *manual* inside the shard_map — every other mesh
+axis stays an AUTO (GSPMD) axis straight through the schedule. ``pp × dp``
+(batch sharded over ``dp``) and ``pp × tp`` (stage body tensor-parallel:
+place the block params with BOTH axes — ``pipeline_shard_params(tp=True)``
+— and GSPMD runs each stage's matmuls tp-sharded with its usual per-layer
+all-reduces) compose for free, including together as the full 3D
+``pp × dp × tp`` layout (pinned numerics-equal in tests/test_pipeline.py).
+Serving/decode stays on the GSPMD tp path (a bubble-free decode pipeline
+needs continuous batching across requests, not microbatching — the tp
+layout is strictly better there at these scales).
 """
 
 from __future__ import annotations
@@ -49,22 +52,51 @@ from llama32mm_tpu.ops.rope import rope_cos_sin
 AXIS_PP = "pp"
 
 
-def pipeline_param_specs(model_params: dict, pp_axis: str = AXIS_PP):
+def pipeline_param_specs(
+    model_params: dict, pp_axis: str = AXIS_PP, tp: bool = False,
+):
     """PartitionSpecs placing the stacked ``[L, ...]`` block params over the
-    ``pp`` axis (layer axis 0 = stage slices); everything else replicated."""
+    ``pp`` axis (layer axis 0 = stage slices); everything else replicated.
+    ``tp=True`` additionally shards each stage's head/intermediate axes over
+    ``tp`` (the decoder TP layout of ``sharding.text_block_shardings``, with
+    the layer axis staged instead of replicated) — the pp×tp layout."""
+    if tp:
+        tp_blocks = {
+            "norm1": {"weight": P(pp_axis, None)},
+            "att": {
+                "W_query": {"weight": P(pp_axis, None, "tp")},
+                "W_key": {"weight": P(pp_axis, None, "tp")},
+                "W_value": {"weight": P(pp_axis, None, "tp")},
+                "out_proj": {"weight": P(pp_axis, "tp", None)},
+            },
+            "norm2": {"weight": P(pp_axis, None)},
+            "ff": {
+                "swiglu": {"w_gate": P(pp_axis, None, "tp"),
+                           "w_up": P(pp_axis, None, "tp")},
+                "w_down": {"weight": P(pp_axis, "tp", None)},
+            },
+        }
 
     def spec_for(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         if "blocks" in names:
+            if tp:
+                node = tp_blocks
+                for n in names[names.index("blocks") + 1:]:
+                    node = node[n]
+                return node
             return P(pp_axis)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, model_params)
 
 
-def pipeline_shard_params(model_params: dict, mesh: Mesh, pp_axis: str = AXIS_PP):
-    """Place text-model params for pipelining: block stacks split over pp."""
-    specs = pipeline_param_specs(model_params, pp_axis)
+def pipeline_shard_params(
+    model_params: dict, mesh: Mesh, pp_axis: str = AXIS_PP, tp: bool = False,
+):
+    """Place text-model params for pipelining: block stacks split over pp
+    (and, with ``tp=True``, stage bodies tensor-parallel over tp)."""
+    specs = pipeline_param_specs(model_params, pp_axis, tp=tp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), model_params, specs
     )

@@ -270,7 +270,7 @@ def full_train_case(name, cfg, mesh, batch, seq_len, loss_chunk=1024,
 
 
 def pp_train_case(name, cfg, mesh, batch, seq_len, n_microbatches,
-                  loss_chunk=1024):
+                  loss_chunk=1024, tp=False):
     """90B text-decoder FULL-param Adam step through the pp pipeline
     (parallel/pipeline.py): blocks + their Adam moments live stage-local
     (1/pp per chip); embedding/lm_head replicated. The compiler's
@@ -287,7 +287,7 @@ def pp_train_case(name, cfg, mesh, batch, seq_len, n_microbatches,
     pshapes = jax.eval_shape(
         lambda k: init_causal_lm_params(k, tc), jax.random.PRNGKey(0)
     )
-    spec_tree = {"model": pipeline_param_specs(pshapes["model"]),
+    spec_tree = {"model": pipeline_param_specs(pshapes["model"], tp=tp),
                  "lm_head": jax.tree.map(lambda _: P(), pshapes["lm_head"])}
 
     def attach(ss, spec):
@@ -330,7 +330,8 @@ def pp_train_case(name, cfg, mesh, batch, seq_len, n_microbatches,
         name, mesh, compiled, time.perf_counter() - t0,
         extra={"batch": batch, "seq_len": seq_len, "microbatches": n_microbatches,
                "loss_chunk": loss_chunk, "remat": True, "dtype": tc.dtype,
-               "pp": mesh.shape.get("pp", 1), "full_param_adam": True},
+               "pp": mesh.shape.get("pp", 1), "tp": mesh.shape.get("tp", 1),
+               "full_param_adam": True},
     )
 
 
@@ -338,7 +339,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="all",
                     choices=["all", "11b_serve", "90b_serve", "90b_train",
-                             "90b_full_train", "11b_serve_vtp", "90b_pp_train"])
+                             "90b_full_train", "11b_serve_vtp", "90b_pp_train",
+                             "90b_pp_tp_train"])
     args = ap.parse_args()
 
     if args.case in ("all", "11b_serve"):
@@ -380,6 +382,13 @@ def main():
         mesh = build_mesh("v5p:4x4", (1, 16), ("dp", "pp"))
         pp_train_case("90b_pp_train_v5p16", cfg, mesh, batch=8, seq_len=4096,
                       n_microbatches=8)
+
+    if args.case in ("all", "90b_pp_tp_train"):
+        # 3D-capable pp×tp layout: 2 stages × 40 layers, each stage tp=8
+        cfg = llama32_90b_vision_config("bfloat16", max_cache_length=4096)
+        mesh = build_mesh("v5p:4x4", (1, 2, 8), ("dp", "pp", "tp"))
+        pp_train_case("90b_pp_tp_train_v5p16", cfg, mesh, batch=8,
+                      seq_len=4096, n_microbatches=8, tp=True)
 
 
 if __name__ == "__main__":

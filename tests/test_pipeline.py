@@ -138,6 +138,33 @@ def test_pipeline_train_step_matches_unpipelined(tiny):
     assert "pp" in str(m.sharding.spec)
 
 
+def test_pipeline_3d_pp_tp_dp(tiny):
+    """Full 3D composition: pp stages × tp-sharded stage bodies × dp batch.
+    Only pp is manual inside the shard_map; tp/dp stay GSPMD auto axes, so
+    each stage's matmuls run tensor-parallel with their usual all-reduces.
+    Loss and grads must equal the unpipelined model, and grads must keep
+    the combined (pp, tp) placement."""
+    tc, params, ids = tiny
+    mesh = create_mesh(dp=2, pp=2, tp=2)
+    pparams = {"model": pipeline_shard_params(params["model"], mesh, tp=True),
+               "lm_head": params["lm_head"]}
+    wq = pparams["model"]["blocks"]["att"]["W_query"]["weight"]
+    L, H, O = params["model"]["blocks"]["att"]["W_query"]["weight"].shape
+    assert {s.data.shape for s in wq.addressable_shards} == {(L // 2, H, O // 2)}
+
+    want = float(_ref_loss(params, tc, ids))
+    loss_fn = lambda p: pipeline_causal_lm_loss(p, tc, ids, ids, mesh, 2)  # noqa: E731
+    got = jax.jit(loss_fn)(pparams)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    g = jax.jit(jax.grad(loss_fn))(pparams)
+    g_ref = jax.grad(lambda p: _ref_loss(p, tc, ids))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6)
+    assert str(g["model"]["blocks"]["ff"]["swiglu"]["w_gate"].sharding.spec) == \
+        "PartitionSpec('pp', None, 'tp')"
+
+
 def test_pipeline_chunked_ce_matches_full(tiny):
     """loss_chunk streams lm_head+softmax in chunks — numerics equal to the
     full-logits loss (required at real vocab: [B,T,V] cannot materialize)."""
