@@ -181,6 +181,23 @@ def test_pipeline_chunked_ce_matches_full(tiny):
     np.testing.assert_allclose(float(full), float(chunked), rtol=1e-6)
 
 
+def test_pipeline_over_quantized_base(tiny):
+    """Quantized (int8) block stacks stage over pp unchanged — the layer
+    axis is axis 0 of both the int8 tensor and its scales, so the same
+    P('pp') placement applies and the stage scan streams int8 weights."""
+    from llama32mm_tpu.ops.quant import quantize_llama_params
+
+    tc, params, ids = tiny
+    qp = quantize_llama_params({"language_model": params},
+                               quantize_lm_head=False)["language_model"]
+    want = float(_ref_loss(qp, tc, ids))
+    mesh = create_mesh(dp=2, pp=2)
+    got = jax.jit(
+        lambda p: pipeline_causal_lm_loss(p, tc, ids, ids, mesh, n_microbatches=2)
+    )(_staged(qp, mesh))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
 def test_pipeline_validation(tiny):
     tc, params, ids = tiny
     mesh = create_mesh(dp=1, pp=4)  # 4 does not divide... n_layers=4 ok; use pp=3? not a mesh
