@@ -1,8 +1,10 @@
 from llama32mm_tpu.parallel.mesh import create_mesh
 from llama32mm_tpu.parallel.pipeline import (
+    make_pipeline_lora_train_step,
     make_pipeline_train_step,
     pipeline_causal_lm_loss,
     pipeline_decoder_hidden,
+    pipeline_shard_lora,
     pipeline_shard_params,
 )
 from llama32mm_tpu.parallel.sharding import (
@@ -21,7 +23,9 @@ __all__ = [
     "data_sharding",
     "kv_cache_sharding",
     "lora_shardings",
+    "make_pipeline_lora_train_step",
     "make_pipeline_train_step",
+    "pipeline_shard_lora",
     "param_shardings",
     "pipeline_causal_lm_loss",
     "pipeline_decoder_hidden",

@@ -109,6 +109,7 @@ def pipeline_decoder_hidden(
     mesh: Mesh,
     n_microbatches: int,
     *,
+    lora_blocks: Optional[dict] = None,
     remat: bool = False,
     impl: str = "xla",
     pp_axis: str = AXIS_PP,
@@ -121,7 +122,10 @@ def pipeline_decoder_hidden(
     ``h``: embedded + √d-scaled hidden ``[B, T, H]`` (batch may be sharded
     over ``dp_axis``). ``model_params``: the ``params["model"]`` subtree with
     ``blocks`` leaves sharded ``P('pp')`` on the layer axis
-    (``pipeline_shard_params``).
+    (``pipeline_shard_params``). ``lora_blocks``: stacked per-layer adapters
+    (``lora["blocks"]``, each leaf ``[L, ...]``) — they ride the same stage
+    placement as their base layers, so LoRA/QLoRA trains through the
+    pipeline with stage-local adapter state (dropout not supported here).
     """
     pp = mesh.shape[pp_axis]
     M = n_microbatches
@@ -143,9 +147,11 @@ def pipeline_decoder_hidden(
 
     blocks = model_params["blocks"]
     block_specs = jax.tree.map(lambda _: P(pp_axis), blocks)
+    lora_in = lora_blocks if lora_blocks is not None else {}
+    lora_specs = jax.tree.map(lambda _: P(pp_axis), lora_in)
     h_spec = P()
 
-    def schedule(blocks_stage, h_loc):
+    def schedule(blocks_stage, lora_stage, h_loc):
         """Per-device program: blocks_stage [L/pp, ...], h_loc [b/dp, T, H]."""
         mb = h_loc.shape[0] // M
         x = h_loc.reshape(M, mb, t, hidden)
@@ -155,10 +161,11 @@ def pipeline_decoder_hidden(
             kv_valid=jnp.ones((mb, t), jnp.int32), q_offset=jnp.asarray(0, jnp.int32)
         )
 
-        def layer_body(carry, layer_params):
+        def layer_body(carry, xs):
+            layer_params, lora_l = xs
             out, *_ = _block_forward(
                 carry, layer_params, config, cos, sin, None, causal,
-                None, None, None, None, None, None, None, None, impl,
+                None, None, None, None, None, None, lora_l or None, None, impl,
             )
             return out, None
 
@@ -166,7 +173,7 @@ def pipeline_decoder_hidden(
             layer_body = jax.checkpoint(layer_body, prevent_cse=False)
 
         def apply_stage(h_in):
-            out, _ = jax.lax.scan(layer_body, h_in, blocks_stage)
+            out, _ = jax.lax.scan(layer_body, h_in, (blocks_stage, lora_stage))
             return out
 
         fwd = [(i, i + 1) for i in range(pp - 1)]
@@ -202,11 +209,11 @@ def pipeline_decoder_hidden(
     piped = jax.shard_map(
         schedule,
         mesh=mesh,
-        in_specs=(block_specs, h_spec),
+        in_specs=(block_specs, lora_specs, h_spec),
         out_specs=h_spec,
         axis_names={pp_axis},
         check_vma=False,  # the masked-psum broadcast defeats static rep-checking
-    )(blocks, h)
+    )(blocks, lora_in, h)
 
     return fused_add_rmsnorm(
         piped, model_params["final_norm"]["weight"], config.rms_norm_eps, impl=impl
@@ -222,6 +229,7 @@ def pipeline_causal_lm_loss(
     n_microbatches: int,
     *,
     ignore_index: int = -100,
+    lora: Optional[dict] = None,
     remat: bool = False,
     loss_chunk: Optional[int] = None,
     impl: str = "xla",
@@ -230,21 +238,82 @@ def pipeline_causal_lm_loss(
     training path; embedding / lm_head replicated, blocks staged over pp).
     ``loss_chunk`` streams positions through lm_head + fp32 log-softmax in
     chunks (``chunked_shifted_cross_entropy``) — required at real vocab
-    sizes where full ``[B, T, V]`` logits cannot materialize."""
+    sizes where full ``[B, T, V]`` logits cannot materialize. ``lora``: the
+    full adapter dict (``init_lora_params``) — block adapters ride the
+    stage placement, the lm_head adapter applies outside the manual region."""
     ids = jnp.clip(input_ids, 0, config.vocab_size - 1)
     h = params["model"]["tok_emb"]["weight"][ids]
     h = h * jnp.asarray(math.sqrt(config.hidden_size), h.dtype)
+    head_lora = None if lora is None else lora.get("lm_head")
     h = pipeline_decoder_hidden(
-        params["model"], config, h, mesh, n_microbatches, remat=remat, impl=impl
+        params["model"], config, h, mesh, n_microbatches,
+        lora_blocks=None if lora is None else lora.get("blocks"),
+        remat=remat, impl=impl,
     )
     if loss_chunk:
         from llama32mm_tpu.models.vlm import chunked_shifted_cross_entropy
 
         return chunked_shifted_cross_entropy(
-            params, config, h, labels, ignore_index, chunk=loss_chunk, impl=impl
+            params, config, h, labels, ignore_index, chunk=loss_chunk,
+            lora=head_lora, impl=impl,
         )
-    logits = lm_head_apply(params, config, h, impl=impl)
+    logits = lm_head_apply(params, config, h, lora=head_lora, impl=impl)
     return shifted_cross_entropy(logits.astype(jnp.float32), labels, ignore_index)
+
+
+def pipeline_shard_lora(lora: dict, mesh: Mesh, pp_axis: str = AXIS_PP) -> dict:
+    """Place adapters for the pipeline: block adapters stage-local
+    (``P('pp')`` on their layer axis, co-located with their base layers),
+    lm_head/projector adapters replicated."""
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        return P(pp_axis) if "blocks" in names else P()
+
+    specs = jax.tree_util.tree_map_with_path(spec_for, lora)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), lora, specs
+    )
+
+
+def make_pipeline_lora_train_step(
+    config: LLAMA32Config,
+    mesh: Mesh,
+    n_microbatches: int,
+    learning_rate: float = 1e-4,
+    *,
+    remat: bool = False,
+    loss_chunk: Optional[int] = None,
+    impl: str = "xla",
+):
+    """(init_state, step) — LoRA/QLoRA through the pipeline: adapters train
+    stage-local (their Adam moments too), the frozen base streams staged —
+    quantized bases included (``step(params, state, batch, rng)`` matches
+    ``train/lora.py::make_lora_train_step``'s signature; rng unused — no
+    adapter dropout in the pipelined path)."""
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    def init_state(lora: dict):
+        return {"lora": lora, "opt": tx.init(lora), "step": jnp.zeros((), jnp.int32)}
+
+    def step(params: dict, state: dict, batch: dict, rng: jax.Array):
+        del rng
+
+        def loss_fn(lora):
+            return pipeline_causal_lm_loss(
+                params, config, batch["input_ids"], batch["labels"], mesh,
+                n_microbatches, lora=lora, remat=remat, loss_chunk=loss_chunk,
+                impl=impl,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["lora"])
+        updates, opt = tx.update(grads, state["opt"], state["lora"])
+        lora = optax.apply_updates(state["lora"], updates)
+        return {"lora": lora, "opt": opt, "step": state["step"] + 1}, loss
+
+    return init_state, step
 
 
 def make_pipeline_train_step(

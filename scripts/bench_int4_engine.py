@@ -36,6 +36,14 @@ from llama32mm_tpu.preprocess.image import preprocess_image_device
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", default="rtn", choices=["rtn", "mixed"],
+                    help="rtn: all-int4 g=128; mixed: INT4_MIXED_RECIPE "
+                         "(gate/up int4 g=64, attn+w_down int8 — the shipped "
+                         "quality recipe, docs/serving.md)")
+    args = ap.parse_args()
     cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
     tc = cfg.text_config
     params = jax.device_put(init_vlm_params(jax.random.PRNGKey(0), cfg))
@@ -59,7 +67,13 @@ def main():
     logits_bf16 = teacher_forced_logits(params, cfg, ext_ids, px, QUALITY_SPAN)
     del engine
 
-    q4 = quantize_llama_params(params, free_originals=True, bits=4)
+    if args.recipe == "mixed":
+        from llama32mm_tpu.ops.quant import INT4_MIXED_RECIPE
+
+        q4 = quantize_llama_params(params, free_originals=True, bits=4,
+                                   group_size=64, recipe=INT4_MIXED_RECIPE)
+    else:
+        q4 = quantize_llama_params(params, free_originals=True, bits=4)
     params = None
     jax.clear_caches()
 
@@ -106,7 +120,11 @@ def main():
         "int4_mean_abs_dlogit": round(int4_dlogit, 4),
         "int4kv_top1_agreement": round(int4kv_top1, 4),
         "int4kv_mean_abs_dlogit": round(int4kv_dlogit, 4),
-        "config": "3B bench shapes, int4 weights (g=128) + int8 KV",
+        "config": ("3B bench shapes, int4 weights (g=128) + int8 KV"
+                   if args.recipe == "rtn" else
+                   "3B bench shapes, MIXED int4(g=64 gate/up)+int8(attn,w_down) + int8 KV"),
+        "weights_gb": round(sum(
+            x.nbytes for x in jax.tree.leaves(q4)) / 1e9, 2),
     }), flush=True)
 
 
