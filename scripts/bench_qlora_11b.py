@@ -12,7 +12,14 @@ remat + chunked-CE keep activation memory flat in sequence length
 Prints one JSON line per (seq_len) with step time, tokens/s, and per-chip
 peak HBM from the runtime's own memory stats.
 
+``--model 3b`` probes the complementary regime: the int8 3B base is only
+~3.4 GB, so the freed HBM buys trainable **context depth** instead of model
+scale — long-context QLoRA (8k/16k/32k) on the same single chip where the
+bf16 3B base + plain (unchunked, unremat) activations cannot compile past 4k
+(``scripts/bench_remat.py``).
+
 Run: python -u scripts/bench_qlora_11b.py [--seq 2048,4096] [--rank 16]
+     python -u scripts/bench_qlora_11b.py --model 3b --seq 8192,16384,32768
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", default="2048,4096")
+    ap.add_argument("--model", default="11b", choices=["11b", "3b"])
     ap.add_argument("--rank", type=int, default=16)
     ap.add_argument("--loss-chunk", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3, help="timed steps per shape")
@@ -47,6 +55,12 @@ def main():
         cfg = tiny_mllama_config()
         seqs = [64]
         loss_chunk = 16
+    elif args.model == "3b":
+        from bench import bench_config
+
+        cfg = bench_config()
+        seqs = [int(s) for s in args.seq.split(",")]
+        loss_chunk = args.loss_chunk
     else:
         cfg = llama32_11b_vision_config()
         seqs = [int(s) for s in args.seq.split(",")]
@@ -82,7 +96,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — per-shape OOM is a result, not a crash
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            print(json.dumps({"probe": "qlora_11b_one_chip", "seq": S,
+            print(json.dumps({"probe": f"qlora_{args.model}_one_chip", "seq": S,
                               "oom": True, "loss_chunk": loss_chunk}), flush=True)
             continue
         compile_s = time.perf_counter() - t0
@@ -98,7 +112,7 @@ def main():
         stats = jax.devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use", 0) / 1e9
         print(json.dumps({
-            "probe": "qlora_11b_one_chip",
+            "probe": f"qlora_{args.model}_one_chip",
             "seq": S,
             "rank": args.rank,
             "base_gb": round(base_gb, 2),
