@@ -495,12 +495,15 @@ def load_checkpoint_params(
                 val = host_node.get(name) if isinstance(host_node, dict) else None
                 if val is None and p == ("language_model", "lm_head", "weight"):
                     # Tied-embedding checkpoints (the normal 1B/3B HF layout)
-                    # simply omit lm_head — back-fill from the loaded
-                    # embedding (tie semantics) rather than paying a full
-                    # host init-tree build for this one leaf.
+                    # simply omit lm_head — represent the tie canonically
+                    # (weight=None, applied as tok_emb.T by lm_head_apply)
+                    # rather than back-filling the raw [vocab, hidden]
+                    # embedding, which is transposed relative to the local
+                    # [hidden, vocab] head layout.
                     emb = _tree_get(host, ["language_model", "model", "tok_emb", "weight"])
                     if emb is not None and not isinstance(emb, dict):
-                        val = emb
+                        out[name] = None
+                        continue
                 if val is None:
                     missing.append(".".join(p))
                     arr = jnp.asarray(np.asarray(get_init(p)), dtype=dt)
@@ -548,7 +551,15 @@ def save_checkpoint_params(
     silently dropping decoder weights. Output exceeding ``max_shard_bytes``
     is split into ``model-XXXXX-of-XXXXX.safetensors`` shards with a
     ``model.safetensors.index.json`` (HF layout); a single shard keeps the
-    plain ``model.safetensors`` name."""
+    plain ``model.safetensors`` name.
+
+    The write STREAMS: the shard plan is computed from shapes alone, then
+    tensors are gathered shard-by-shard (stacked ``[L, ...]`` block leaves
+    one layer row at a time) and each shard file is flushed and freed before
+    the next is gathered — peak host RAM is ~``max_shard_bytes`` + one row,
+    not the model size. (GSPMD-sharded leaves still gather across devices
+    here; for train states at 90B scale use ``io.distributed``, which writes
+    per-shard with no gather at all.)"""
     from safetensors.numpy import save_file
 
     from llama32mm_tpu.ops.quant import is_quantized
@@ -580,7 +591,9 @@ def save_checkpoint_params(
             return tcopy(arr).reshape(d, vc.num_channels, vc.patch_size, vc.patch_size)
         return arr
 
-    tensors: Dict[str, np.ndarray] = {}
+    # (hf_key, nbytes, produce) — produce() gathers + untransforms ONE tensor
+    # on demand; nothing is materialized during planning.
+    entries: List[tuple] = []
 
     def walk(node, path):
         for name, leaf in node.items():
@@ -603,53 +616,71 @@ def save_checkpoint_params(
                 continue
             if leaf is None:
                 continue  # tied lm_head
-            arr = np.asarray(leaf)
             if p in inv_global:
                 hf_key, kind = inv_global[p]
-                tensors[hf_key] = untransform(arr, kind)
+                entries.append((
+                    hf_key,
+                    leaf.nbytes,
+                    lambda leaf=leaf, kind=kind: untransform(np.asarray(leaf), kind),
+                ))
             elif p[:3] == ("language_model", "model", "blocks"):
                 sub = p[3:]
                 if sub not in inv_text:
                     continue
                 leaf_name, kind = inv_text[sub]
-                for i in range(arr.shape[0]):
-                    tensors[f"language_model.model.layers.{i}.{leaf_name}"] = untransform(
-                        arr[i], kind
-                    )
+                row_nb = leaf.nbytes // leaf.shape[0]
+                for i in range(leaf.shape[0]):
+                    entries.append((
+                        f"language_model.model.layers.{i}.{leaf_name}",
+                        row_nb,
+                        lambda leaf=leaf, i=i, kind=kind: untransform(
+                            np.asarray(leaf[i]), kind
+                        ),
+                    ))
             elif p[:2] == ("vision_model", "layers"):
                 sub = p[2:]
                 if sub not in inv_vision:
                     continue
                 leaf_name, kind = inv_vision[sub]
-                for i in range(arr.shape[0]):
-                    tensors[
-                        f"vision_model.vision_model.encoder.layers.{i}.{leaf_name}"
-                    ] = untransform(arr[i], kind)
+                row_nb = leaf.nbytes // leaf.shape[0]
+                for i in range(leaf.shape[0]):
+                    entries.append((
+                        f"vision_model.vision_model.encoder.layers.{i}.{leaf_name}",
+                        row_nb,
+                        lambda leaf=leaf, i=i, kind=kind: untransform(
+                            np.asarray(leaf[i]), kind
+                        ),
+                    ))
 
     walk(params, ())
 
-    # Shard planning: greedy fill up to max_shard_bytes per file (a tensor
-    # larger than the limit gets its own shard).
-    shards: List[Dict[str, np.ndarray]] = [{}]
+    # Shard planning from byte counts alone: greedy fill up to max_shard_bytes
+    # per file (a tensor larger than the limit gets its own shard).
+    shards: List[List[tuple]] = [[]]
     shard_bytes = [0]
-    for key, arr in tensors.items():
-        nb = arr.nbytes
+    for entry in entries:
+        nb = entry[1]
         if shard_bytes[-1] > 0 and shard_bytes[-1] + nb > max_shard_bytes:
-            shards.append({})
+            shards.append([])
             shard_bytes.append(0)
-        shards[-1][key] = arr
+        shards[-1].append(entry)
         shard_bytes[-1] += nb
 
+    # Gather + write one shard at a time; each shard's host copy is freed
+    # before the next is materialized.
     # bf16 → raw-bit-compatible ml_dtypes arrays save fine via safetensors.numpy
     if len(shards) == 1:
-        save_file(shards[0], os.path.join(model_path, "model.safetensors"))
+        data = {key: produce() for key, _, produce in shards[0]}
+        save_file(data, os.path.join(model_path, "model.safetensors"))
     else:
         n = len(shards)
         weight_map = {}
         for i, shard in enumerate(shards):
             fname = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
-            save_file(shard, os.path.join(model_path, fname))
-            for key in shard:
+            data = {key: produce() for key, _, produce in shard}
+            save_file(data, os.path.join(model_path, fname))
+            del data
+            for key, _, _ in shard:
                 weight_map[key] = fname
         index = {
             "metadata": {"total_size": int(sum(shard_bytes))},

@@ -226,8 +226,9 @@ def make_train_step(
 # Full train-state save/resume (params + moments + step). safetensors, one
 # tensor per tree leaf. The format is mmap-friendly on LOAD (resume reads
 # leaves lazily); the save path still materializes every leaf on host before
-# writing — at 11B-fp32 scale (~120 GB) use io/checkpoint.py's sharded writer
-# for the params and keep optimizer state sharded across hosts instead.
+# writing — beyond single-host scale (90B: masters + moments ≈ 1 TB) use
+# io.distributed (ShardedCheckpointer / TrainCheckpointManager): per-shard
+# orbax writes, resharding restore, async save.
 # ---------------------------------------------------------------------------
 
 

@@ -191,6 +191,33 @@ def test_save_load_roundtrip(tmp_path):
     check(params, loaded)
 
 
+def test_tied_head_roundtrip_forward(tmp_path):
+    """A TIED tree (lm_head weight None — the normal 1B/3B HF layout omits
+    lm_head) round-trips to the canonical None representation, and the loaded
+    tree's forward matches the original (regression: the loader used to
+    back-fill the raw [vocab, hidden] embedding, transposed vs the local
+    [hidden, vocab] head layout, which broke lm_head_apply)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama32mm_tpu import init_vlm_params, tiny_mllama_config, vlm_forward
+    from llama32mm_tpu.io.checkpoint import save_checkpoint_params
+
+    cfg = tiny_mllama_config()
+    params = init_vlm_params(jax.random.PRNGKey(9), cfg)  # tied: lm_head None
+    assert params["language_model"]["lm_head"]["weight"] is None
+    save_checkpoint_params(str(tmp_path), params, cfg)
+    loaded = load_checkpoint_params(str(tmp_path), cfg, verbose=False)
+    assert loaded["language_model"]["lm_head"]["weight"] is None
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size - 10)
+    a = vlm_forward(params, cfg, input_ids=ids)
+    b = vlm_forward(loaded, cfg, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(a.logits, np.float32), np.asarray(b.logits, np.float32), atol=1e-6
+    )
+
+
 def test_streaming_load_matches_host_load(tmp_path):
     """streaming=True (per-tensor device placement, donated row writes) loads
     bit-identical params to the host-staged path."""
