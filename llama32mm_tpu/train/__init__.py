@@ -1,3 +1,10 @@
+from llama32mm_tpu.train.accum import accumulate_grads, valid_target_count
+from llama32mm_tpu.train.data import (
+    DataState,
+    PackedBatchIterator,
+    pack_documents,
+    prefetch_to_device,
+)
 from llama32mm_tpu.train.full import (
     FullTrainState,
     load_full_train_state,
@@ -20,6 +27,12 @@ from llama32mm_tpu.train.lora import (
 )
 
 __all__ = [
+    "DataState",
+    "PackedBatchIterator",
+    "accumulate_grads",
+    "pack_documents",
+    "prefetch_to_device",
+    "valid_target_count",
     "FullTrainState",
     "load_full_train_state",
     "make_optimizer",

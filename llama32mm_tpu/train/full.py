@@ -101,6 +101,7 @@ def make_train_step(
     zero1_params: Optional[dict] = None,
     zero1_axis: str = "dp",
     zero1_masters: bool = False,
+    accum_steps: int = 1,
 ):
     """Build ``(init_state, train_step)`` for full fine-tuning.
 
@@ -109,6 +110,13 @@ def make_train_step(
     ``max_grad_norm`` is set). ``learning_rate`` may be a float or an optax
     schedule. ``batch``: ``input_ids`` / ``labels`` (+ optional
     ``pixel_values`` / ``attention_mask``), as in the LoRA path.
+
+    ``accum_steps=A``: gradient accumulation — batch leaves carry a leading
+    ``[A, ...]`` microbatch axis, the A backward passes run under ``lax.scan``
+    (one microbatch of activation memory), and grads are valid-target-count
+    weighted so the single optimizer update equals the big-batch one exactly
+    (``train/accum.py``). Composes with zero1: the ACCUMULATED grad tree is
+    what gets reduce-scattered into the optimizer layout.
 
     ``zero1_params``: the GSPMD-sharded param tree (or ShapeDtypeStructs with
     shardings attached) — enables ZeRO-1 optimizer partitioning over
@@ -183,9 +191,17 @@ def make_train_step(
         return out.loss
 
     def train_step(state: FullTrainState, batch: dict, rng: jax.Array):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, state.frozen, batch, rng
-        )
+        if accum_steps > 1:
+            from llama32mm_tpu.train.accum import accumulate_grads
+
+            loss, grads = accumulate_grads(
+                lambda p, mb, r: loss_fn(p, state.frozen, mb, r),
+                state.params, batch, rng, accum_steps, config.ignore_index,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, state.frozen, batch, rng
+            )
         if _z1_shd is not None:
             # reduce-scatter the grads into the optimizer layout: the Adam
             # update then computes 1/|dp| of every moment per chip

@@ -28,6 +28,7 @@ import numpy as np
 
 from llama32mm_tpu.configs import LLAMA32Config, MLLAMAConfig
 from llama32mm_tpu.models.vlm import vlm_forward
+from llama32mm_tpu.train.accum import accumulate_grads
 
 DEFAULT_TARGETS = ("W_query", "W_key", "W_value", "out_proj", "w_gate", "w_up", "w_down")
 
@@ -234,10 +235,19 @@ def make_lora_train_step(
     impl: str = "auto",
     remat: bool = False,
     loss_chunk=None,
+    accum_steps: int = 1,
 ):
     """Build (init_state, train_step). ``train_step(params, state, batch, rng)``
     differentiates only the adapters; base params are frozen (reference
-    Model/model.py:116-118)."""
+    Model/model.py:116-118).
+
+    ``accum_steps=A``: gradient accumulation — every ``batch`` leaf carries a
+    leading microbatch axis ``[A, ...]``; a ``lax.scan`` runs the A
+    forward/backwards sequentially (activation memory of ONE microbatch) and
+    applies a single optimizer update. Microbatch grads are weighted by their
+    valid-target counts, so the update equals the one big ``[A·B]`` batch
+    exactly even when microbatches carry different amounts of padding
+    (each microbatch must contain ≥1 valid target)."""
     import optax
 
     tx = optax.adam(learning_rate)
@@ -263,7 +273,13 @@ def make_lora_train_step(
         return out.loss
 
     def train_step(params, state: LoraTrainState, batch: dict, rng: jax.Array):
-        loss, grads = jax.value_and_grad(loss_fn)(state.lora, params, batch, rng)
+        if accum_steps > 1:
+            loss, grads = accumulate_grads(
+                lambda lora, mb, r: loss_fn(lora, params, mb, r),
+                state.lora, batch, rng, accum_steps, config.ignore_index,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.lora, params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
         return LoraTrainState(lora=lora, opt_state=opt_state, step=state.step + 1), loss
