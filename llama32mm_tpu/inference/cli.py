@@ -44,8 +44,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "single 16 GB chip. See docs/serving.md.")
     parser.add_argument("--spec-lookup", type=int, default=0, metavar="K",
                         help="Prompt-lookup speculative decoding: draft K tokens "
-                             "per step and verify in one forward (greedy only; "
-                             "exact — see docs/serving.md).")
+                             "per step and verify in one forward (exact for "
+                             "greedy AND sampled decoding — see docs/serving.md).")
+    parser.add_argument("--spec-draft", type=int, default=0, metavar="K",
+                        help="Draft-MODEL speculative decoding: a smaller LM "
+                             "(--draft-weights) proposes K tokens per step, "
+                             "verified exactly in one target forward.")
+    parser.add_argument("--draft-weights", default=None,
+                        help="Checkpoint dir of the draft model for --spec-draft "
+                             "(this framework's save layout; must share the "
+                             "target's vocab — e.g. 1B drafting for 11B).")
     return parser.parse_args(argv)
 
 
@@ -98,12 +106,24 @@ def run_custom_inference(args: argparse.Namespace) -> str:
     # minor dim of the decode score matrix — ragged lane tiles measured
     # slower than the dead tail); auto-bucketing reuses the compiled program
     # across prompt lengths within each 128-wide band.
-    # (+spec_lookup: each speculative verify step writes K+1 cache entries,
-    # so the engine requires K slots of headroom past prompt+max_new)
-    cache_len = -(-(prompt_len + args.max_new_tokens + args.spec_lookup) // 128) * 128
+    draft_params = draft_config = None
+    if args.spec_draft:
+        if not args.draft_weights or not Path(args.draft_weights).is_dir():
+            sys.exit("--spec-draft needs --draft-weights <checkpoint dir>")
+        print(f"Loading draft model from: {args.draft_weights}")
+        draft_model, _ = load_hf_model(args.draft_weights, dtype=dtype)
+        draft_params = draft_model.params["language_model"]
+        draft_config = draft_model.config.text_config
+
+    # (+speculation: each verify step writes K+1 cache entries, so the
+    # engine requires K slots of headroom past prompt+max_new)
+    spec_k = max(args.spec_lookup, args.spec_draft)
+    cache_len = -(-(prompt_len + args.max_new_tokens + spec_k) // 128) * 128
     engine = InferenceEngine(
         model.params, model.config, max_cache_length=cache_len, prompt_buckets="auto",
-        spec_lookup=args.spec_lookup if args.temperature == 0.0 else 0,
+        spec_lookup=args.spec_lookup,
+        spec_draft=args.spec_draft,
+        draft_params=draft_params, draft_config=draft_config,
         kv_dtype="int8" if args.quantize != "none" else None,
     )
 

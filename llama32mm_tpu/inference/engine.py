@@ -128,6 +128,9 @@ class InferenceEngine:
         kv_dtype: Optional[str] = None,
         prompt_buckets=None,
         spec_lookup: int = 0,
+        spec_draft: int = 0,
+        draft_params=None,
+        draft_config=None,
         gemv_routes="auto",
     ):
         """``kv_dtype="int8"`` enables the quantized KV cache serving mode
@@ -146,13 +149,36 @@ class InferenceEngine:
         verifies all of them in ONE forward (a decode step is weight-bound,
         so a K+1-token step costs ~the same HBM as a 1-token step). Exactly
         greedy-equivalent — drafts the model disagrees with are discarded.
-        Wins are text-dependent (repetitive continuations accept more)."""
+        Wins are text-dependent (repetitive continuations accept more).
+
+        ``spec_draft=K`` with ``draft_params``/``draft_config`` (a small
+        causal LM sharing the target's vocab — e.g. 1B drafting for 11B)
+        enables DRAFT-MODEL speculative decoding: each iteration rolls the
+        draft forward K greedy steps (its own KV cache, ~free at draft
+        scale), then verifies all K in one target forward via the same
+        rejection sampler — exact for greedy and sampled decoding alike.
+        Unlike prompt-lookup, acceptance tracks the draft's actual
+        agreement with the target, not text repetitiveness. The draft sees
+        the token stream only (image positions fed a placeholder id);
+        verification guarantees the output distribution regardless of how
+        the draft copes."""
         if kv_dtype not in (None, "int8"):
             raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
         if prompt_buckets is not None and prompt_buckets != "auto":
             prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         if spec_lookup < 0:
             raise ValueError(f"spec_lookup must be >= 0, got {spec_lookup}")
+        if spec_draft < 0:
+            raise ValueError(f"spec_draft must be >= 0, got {spec_draft}")
+        if spec_draft and spec_lookup:
+            raise ValueError("spec_draft and spec_lookup are mutually exclusive")
+        if spec_draft and (draft_params is None or draft_config is None):
+            raise ValueError("spec_draft needs draft_params and draft_config")
+        if spec_draft and draft_config.vocab_size < config.text_config.vocab_size:
+            raise ValueError(
+                "draft vocab must cover the target vocab: "
+                f"{draft_config.vocab_size} < {config.text_config.vocab_size}"
+            )
         self.params = params
         self.config = config
         self.max_cache_length = max_cache_length or config.text_config.max_cache_length
@@ -160,6 +186,9 @@ class InferenceEngine:
         self.kv_dtype = kv_dtype
         self.prompt_buckets = prompt_buckets
         self.spec_lookup = int(spec_lookup)
+        self.spec_draft = int(spec_draft)
+        self.draft_params = draft_params
+        self.draft_config = draft_config
         # Decode gemv routing (VERDICT r2 #1): "auto" = the measured per-shape
         # winners on TPU (ops/pallas/gemv.py::default_decode_routes), off
         # elsewhere; pass an explicit dict or None to override. Applies to
@@ -406,6 +435,160 @@ class InferenceEngine:
 
         return jax.jit(generate_fn)
 
+    def _make_generate_spec_draft(self, max_new_tokens, temperature, top_p, top_k,
+                                  eos_token_id, use_image):
+        """Draft-model speculative decode (batch-1).
+
+        Per iteration: the draft LM rolls K greedy single-token steps from
+        the last committed token (writing its own KV cache as it goes), then
+        the target verifies all K in one ``(K+1)``-token forward through the
+        same rejection sampler as the prompt-lookup path — greedy stays
+        bit-exact argmax, T>0 commits exactly per the target distribution.
+
+        Cache consistency needs no rewind: the committed prefix equals what
+        the draft fed (accepted drafts), and the first corrected/bonus token
+        lands exactly where the next iteration's first draft step writes —
+        stale entries past the commit point stay masked (``kv_valid``) until
+        overwritten, same argument as the target cache.
+
+        The draft sees only token ids (image-placeholder positions fed id 0 —
+        it cannot embed ``image_token_index == vocab_size``, SURVEY §2.9 #10);
+        on image prompts its early drafts are bad and verification simply
+        rejects them."""
+        from llama32mm_tpu.models.language import causal_lm_forward, llama_forward
+        from llama32mm_tpu.utils.sampling import spec_verify_tokens
+
+        cfg = self.config
+        tc = cfg.text_config
+        dtc = self.draft_config
+        max_len = self.max_cache_length
+        impl = self.impl
+        kv_dtype = self.kv_dtype
+        K = self.spec_draft
+        gemv_routes = self.gemv_routes
+        samp = (
+            jnp.asarray([temperature], jnp.float32),
+            jnp.asarray([top_p], jnp.float32),
+            jnp.asarray([top_k], jnp.int32),
+        )
+
+        def generate_fn(params, draft_params, input_ids, pixel_values, padding_mask, rng):
+            b, s = input_ids.shape  # b == 1 (enforced by generate())
+            adtype = jnp.int8 if kv_dtype == "int8" else tc.jnp_dtype
+            cache = init_kv_cache(tc, b, max_length=max_len, dtype=adtype)
+            prefill_mask = structured_prefill_mask(padding_mask, max_len)
+            true_len = jnp.sum(padding_mask, axis=1).astype(jnp.int32)
+            out = vlm_forward(
+                params, cfg,
+                input_ids=input_ids,
+                pixel_values=pixel_values if use_image else None,
+                attention_mask=prefill_mask, kv_cache=cache, impl=impl,
+                logits_positions=(true_len - 1)[:, None],
+            )
+            pre_logits = out.logits[:, 0]
+            rng, first_rng = jax.random.split(rng)
+            first = select_next_token(
+                pre_logits, first_rng, temperature, top_p, top_k
+            ).astype(jnp.int32)  # [1]
+
+            # Draft prefill: same padded prompt/mask/slots, lm_head skipped
+            # (only the cache is needed). Image-token ids fall outside the
+            # draft's embedding table → placeholder id 0.
+            draft_ids = jnp.where(input_ids == cfg.image_token_index, 0, input_ids)
+            dcache = init_kv_cache(dtc, b, max_length=max_len, dtype=dtc.jnp_dtype)
+            dout = llama_forward(
+                draft_params["model"], dtc, input_ids=draft_ids,
+                attention_mask=prefill_mask, kv_cache=dcache, impl=impl,
+            )
+            dcache = dout.kv_cache
+
+            tl = true_len[0]
+            tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32).at[:, 0].set(first)
+            done0 = first == eos_token_id
+            count0 = jnp.ones((), jnp.int32)
+            steps0 = jnp.zeros((), jnp.int32)
+            k_arr = jnp.arange(max_len)[None, :]
+            pad_ok = jnp.pad(
+                padding_mask.astype(bool), ((0, 0), (0, max_len - s)),
+                constant_values=True,
+            )
+
+            def cond(st):
+                tokens, done, count, steps, cache, dcache, last, rng = st
+                return (count < max_new_tokens) & (~done[0])
+
+            def body(st):
+                tokens, done, count, steps, cache, dcache, last, rng = st
+                rng, step_rng = jax.random.split(rng)
+                p_slot = (s + count - 1).astype(jnp.int32)
+
+                # K+1 greedy draft steps; step j writes the draft cache at
+                # slot p_slot + j and proposes draft j. The (K+1)-th step
+                # exists ONLY to write slot p_slot+K (its proposal is
+                # discarded): a fully-accepted chunk commits K+1 tokens, and
+                # without that write the next iteration would attend an
+                # unwritten draft-cache slot — drafts then degrade
+                # permanently after the first full accept.
+                def draft_step(j, carry):
+                    dc, cur, drafts = carry
+                    slot = p_slot + j
+                    kvv = ((k_arr < (slot + 1)) & pad_ok).astype(jnp.int32)
+                    dmask = AttnMask(kv_valid=kvv, q_offset=slot)
+                    dpos = (tl + count - 1 + j)[None, None].astype(jnp.int32)
+                    dlogits, dc = causal_lm_forward(
+                        draft_params, dtc, input_ids=cur[None, None],
+                        attention_mask=dmask, position_ids=dpos,
+                        kv_cache=dc._replace(pos=slot), impl=impl,
+                    )
+                    nxt_d = jnp.argmax(dlogits[0, -1]).astype(jnp.int32)
+                    return dc, nxt_d, drafts.at[j].set(nxt_d)
+
+                dcache, _, dbuf = jax.lax.fori_loop(
+                    0, K + 1, draft_step,
+                    (dcache, last, jnp.zeros((K + 1,), jnp.int32)),
+                )
+                drafts = dbuf[:K]
+
+                # One (K+1)-token target verify at slots p..p+K.
+                feed = jnp.concatenate([last[None], drafts])[None, :]
+                kv_valid = ((k_arr < (p_slot + K + 1)) & pad_ok).astype(jnp.int32)
+                mask = AttnMask(kv_valid=kv_valid, q_offset=p_slot)
+                pos = (tl + count - 1 + jnp.arange(K + 1))[None, :].astype(jnp.int32)
+                step_out = vlm_forward(
+                    params, cfg, input_ids=feed, attention_mask=mask,
+                    position_ids=pos, kv_cache=cache._replace(pos=p_slot),
+                    impl=impl, gemv_routes=gemv_routes,
+                )
+                nxt_b, acc_bit = spec_verify_tokens(
+                    step_out.logits, drafts[None], step_rng, *samp
+                )
+                nxt = nxt_b[0]  # [K+1]
+
+                acc = jnp.cumprod(acc_bit[0].astype(jnp.int32))
+                n_commit = jnp.minimum(jnp.sum(acc) + 1, max_new_tokens - count)
+                j = jnp.arange(K + 1)
+                eos_hit = (j < n_commit) & (nxt == eos_token_id)
+                n_commit = jnp.minimum(n_commit, jnp.min(jnp.where(eos_hit, j, K + 1)) + 1)
+
+                tidx = jnp.arange(max_new_tokens)
+                sel = (tidx >= count) & (tidx < count + n_commit)
+                src = jnp.take(nxt, jnp.clip(tidx - count, 0, K))
+                tokens = jnp.where(sel[None, :], src[None, :], tokens)
+                new_last = nxt[n_commit - 1]
+
+                done = done | jnp.any(eos_hit)[None]
+                return (tokens, done, count + n_commit, steps + 1,
+                        step_out.kv_cache, dcache, new_last, rng)
+
+            st = (tokens0, done0, count0, steps0, out.kv_cache, dcache, first[0], rng)
+            tokens, done, count, steps, _, _, _, _ = jax.lax.while_loop(cond, body, st)
+            return GenerateResult(
+                tokens=tokens, num_generated=count[None], prefill_logits=pre_logits,
+                steps=steps,
+            )
+
+        return jax.jit(generate_fn)
+
     def generate(
         self,
         input_ids,
@@ -430,7 +613,8 @@ class InferenceEngine:
         # K+1 entries) — without reserving them here, auto-bucketing could pad
         # into that headroom and the capacity check below would spuriously
         # reject a prompt that fits unbucketed.
-        s_b = self._bucketed_len(s, max_new_tokens + self.spec_lookup)
+        spec_k = self.spec_lookup or self.spec_draft
+        s_b = self._bucketed_len(s, max_new_tokens + spec_k)
         if s_b != s:
             input_ids = jnp.pad(input_ids, ((0, 0), (0, s_b - s)))
             attention_mask = jnp.pad(attention_mask, ((0, 0), (0, s_b - s)))
@@ -442,23 +626,26 @@ class InferenceEngine:
             )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         use_image = pixel_values is not None
-        if self.spec_lookup > 0:
+        if spec_k > 0:
+            which = "spec" if self.spec_lookup else "specd"
             if b != 1:
-                raise ValueError("spec_lookup decoding supports batch size 1")
-            if s + max_new_tokens + self.spec_lookup > self.max_cache_length:
+                raise ValueError(f"{which} decoding supports batch size 1")
+            if s + max_new_tokens + spec_k > self.max_cache_length:
                 # every verify step writes K+1 entries even on the final
                 # iteration — without this headroom the last write would run
                 # past the cache and dynamic_update_slice would CLAMP the
                 # start, silently corrupting committed slots
                 raise ValueError(
-                    f"spec_lookup={self.spec_lookup} needs K extra cache slots: "
+                    f"speculative K={spec_k} needs K extra cache slots: "
                     f"prompt ({s}) + max_new_tokens ({max_new_tokens}) + K > "
                     f"capacity {self.max_cache_length}"
                 )
-            key = ("spec", max_new_tokens, temperature, top_p, top_k,
+            key = (which, max_new_tokens, temperature, top_p, top_k,
                    eos_token_id, use_image)
             if key not in self._generate_jit:
-                self._generate_jit[key] = self._make_generate_spec(*key[1:])
+                make = (self._make_generate_spec if which == "spec"
+                        else self._make_generate_spec_draft)
+                self._generate_jit[key] = make(*key[1:])
         else:
             key = (max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image)
             if key not in self._generate_jit:
@@ -468,6 +655,10 @@ class InferenceEngine:
             if use_image
             else jnp.zeros((b, 3, 1, 1), self.config.text_config.jnp_dtype)
         )
+        if self.spec_draft > 0:
+            return self._generate_jit[key](
+                self.params, self.draft_params, input_ids, px, attention_mask, rng
+            )
         return self._generate_jit[key](self.params, input_ids, px, attention_mask, rng)
 
     def decode_tokens(self, tokenizer, result: GenerateResult, batch_idx: int = 0) -> str:
