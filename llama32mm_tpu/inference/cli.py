@@ -33,6 +33,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="0.0 = greedy decoding (default).")
     parser.add_argument("--top-p", type=float, default=0.9)
     parser.add_argument("--top-k", type=int, default=50)
+    parser.add_argument("--min-p", type=float, default=0.0,
+                        help="Drop tokens with prob < min_p * max_prob (0 = off).")
+    parser.add_argument("--repetition-penalty", type=float, default=1.0,
+                        help="CTRL repetition penalty on context tokens (1.0 = off).")
     parser.add_argument("--cpu", action="store_true", help="Force CPU (JAX platform cpu).")
     parser.add_argument("--dtype", choices=["auto", "float16", "bfloat16", "float32"],
                         default="auto")
@@ -135,6 +139,8 @@ def run_custom_inference(args: argparse.Namespace) -> str:
         temperature=args.temperature,
         top_p=args.top_p,
         top_k=args.top_k,
+        min_p=args.min_p,
+        repetition_penalty=args.repetition_penalty,
         eos_token_id=tokenizer.eos_token_id if tokenizer.eos_token_id is not None else -1,
         rng=jax.random.PRNGKey(args.seed),
     )
@@ -168,6 +174,10 @@ def run_hf_inference(args: argparse.Namespace) -> str:
     gen_kwargs = {"max_new_tokens": args.max_new_tokens, "do_sample": args.temperature > 0}
     if args.temperature > 0:
         gen_kwargs.update(temperature=args.temperature, top_p=args.top_p, top_k=args.top_k)
+        if getattr(args, "min_p", 0.0) > 0:
+            gen_kwargs["min_p"] = args.min_p
+    if getattr(args, "repetition_penalty", 1.0) != 1.0:
+        gen_kwargs["repetition_penalty"] = args.repetition_penalty
 
     output = model.generate(**model_inputs, **gen_kwargs)
     continuation = output[:, model_inputs["input_ids"].shape[-1]:]

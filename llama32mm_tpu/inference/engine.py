@@ -214,12 +214,17 @@ class InferenceEngine:
     def _bucketed_len(self, s: int, max_new_tokens: int) -> int:
         return bucketed_len(s, max_new_tokens, self.max_cache_length, self.prompt_buckets)
 
-    def _make_generate(self, max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image):
+    def _make_generate(self, max_new_tokens, temperature, top_p, top_k, min_p,
+                       rep_pen, eos_token_id, use_image):
         cfg = self.config
         tc = cfg.text_config
         max_len = self.max_cache_length
         impl = self.impl
         gemv_routes = self.gemv_routes
+        # repetition penalty needs the row's context presence [B, V] — built
+        # from the prompt, then one scatter per committed token. Off (1.0) the
+        # loop state and math are untouched.
+        use_pen = rep_pen != 1.0
 
         kv_dtype = self.kv_dtype
 
@@ -251,8 +256,24 @@ class InferenceEngine:
                 )
             pre_logits = out.logits[:, 0]  # [B, V]
 
+            rows = jnp.arange(b)
+            if use_pen:
+                from llama32mm_tpu.utils.sampling import presence_from_tokens
+
+                safe_ids = jnp.where(
+                    input_ids == cfg.image_token_index, -1, input_ids
+                )  # image placeholders are not penalizable vocab tokens
+                pres0 = presence_from_tokens(safe_ids, true_len, tc.vocab_size)
+            else:
+                pres0 = jnp.zeros((b, 1), jnp.bool_)  # unused placeholder
+
             rng, step_rng = jax.random.split(rng)
-            first = select_next_token(pre_logits, step_rng, temperature, top_p, top_k)
+            first = select_next_token(
+                pre_logits, step_rng, temperature, top_p, top_k, min_p,
+                presence=pres0 if use_pen else None, repetition_penalty=rep_pen,
+            )
+            if use_pen:
+                pres0 = pres0.at[rows, first].max(True)
 
             tokens0 = jnp.zeros((b, max_new_tokens), dtype=jnp.int32)
             tokens0 = tokens0.at[:, 0].set(first.astype(jnp.int32))
@@ -260,11 +281,11 @@ class InferenceEngine:
             count0 = jnp.ones((b,), jnp.int32)
 
             def cond(state):
-                i, tokens, done, count, cache, last, rng = state
+                i, tokens, done, count, cache, last, pres, rng = state
                 return (i < max_new_tokens) & (~jnp.all(done))
 
             def body(state):
-                i, tokens, done, count, cache, last, rng = state
+                i, tokens, done, count, cache, last, pres, rng = state
                 # Slot bookkeeping counts the padded prompt (the fed token
                 # lands at slot s+i-1; after the write k < s+i slots are
                 # attendable, pad slots stay blocked) — but the RoPE position
@@ -285,22 +306,27 @@ class InferenceEngine:
                     )
                 rng, step_rng = jax.random.split(rng)
                 nxt = select_next_token(
-                    step_out.logits[:, -1], step_rng, temperature, top_p, top_k
+                    step_out.logits[:, -1], step_rng, temperature, top_p, top_k,
+                    min_p, presence=pres if use_pen else None,
+                    repetition_penalty=rep_pen,
                 ).astype(jnp.int32)
                 nxt = jnp.where(done, jnp.asarray(eos_token_id, jnp.int32), nxt)
+                if use_pen:
+                    pres = pres.at[rows, nxt].max(~done)
                 tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
                 new_done = done | (nxt == eos_token_id)
                 count = count + (~done).astype(jnp.int32)
-                return (i + 1, tokens, new_done, count, step_out.kv_cache, nxt, rng)
+                return (i + 1, tokens, new_done, count, step_out.kv_cache, nxt, pres, rng)
 
-            state = (jnp.asarray(1, jnp.int32), tokens0, done0, count0, out.kv_cache, first, rng)
-            _, tokens, done, count, _, _, _ = jax.lax.while_loop(cond, body, state)
+            state = (jnp.asarray(1, jnp.int32), tokens0, done0, count0, out.kv_cache,
+                     first, pres0, rng)
+            _, tokens, done, count, _, _, _, _ = jax.lax.while_loop(cond, body, state)
             return GenerateResult(tokens=tokens, num_generated=count, prefill_logits=pre_logits)
 
         return jax.jit(generate_fn)
 
     def _make_generate_spec(self, max_new_tokens, temperature, top_p, top_k,
-                            eos_token_id, use_image):
+                            min_p, rep_pen, eos_token_id, use_image):
         """Prompt-lookup speculative decode (batch-1).
 
         Each iteration drafts ``K = spec_lookup`` tokens by bigram match
@@ -325,11 +351,14 @@ class InferenceEngine:
         kv_dtype = self.kv_dtype
         K = self.spec_lookup
         gemv_routes = self.gemv_routes
+        use_pen = rep_pen != 1.0
         samp = (
             jnp.asarray([temperature], jnp.float32),
             jnp.asarray([top_p], jnp.float32),
             jnp.asarray([top_k], jnp.int32),
+            jnp.asarray([min_p], jnp.float32),
         )
+        pen_arr = jnp.asarray([rep_pen], jnp.float32)
 
         def generate_fn(params, input_ids, pixel_values, padding_mask, rng):
             b, s = input_ids.shape  # b == 1 (enforced by generate())
@@ -345,10 +374,22 @@ class InferenceEngine:
                 logits_positions=(true_len - 1)[:, None],
             )
             pre_logits = out.logits[:, 0]
+            if use_pen:
+                from llama32mm_tpu.utils.sampling import presence_from_tokens
+
+                safe_ids = jnp.where(
+                    input_ids == cfg.image_token_index, -1, input_ids
+                )
+                pres0 = presence_from_tokens(safe_ids, true_len, tc.vocab_size)
+            else:
+                pres0 = jnp.zeros((b, 1), jnp.bool_)
             rng, first_rng = jax.random.split(rng)
             first = select_next_token(
-                pre_logits, first_rng, temperature, top_p, top_k
+                pre_logits, first_rng, temperature, top_p, top_k, min_p,
+                presence=pres0 if use_pen else None, repetition_penalty=rep_pen,
             ).astype(jnp.int32)  # [1]
+            if use_pen:
+                pres0 = pres0.at[jnp.arange(b), first].max(True)
 
             tl = true_len[0]
             L = s + max_new_tokens
@@ -369,11 +410,11 @@ class InferenceEngine:
             )
 
             def cond(st):
-                tokens, done, count, steps, cache, seq, rng = st
+                tokens, done, count, steps, cache, seq, pres, rng = st
                 return (count < max_new_tokens) & (~done[0])
 
             def body(st):
-                tokens, done, count, steps, cache, seq, rng = st
+                tokens, done, count, steps, cache, seq, pres, rng = st
                 rng, step_rng = jax.random.split(rng)
                 last_at = tl + count - 1  # seq index of the last committed token
                 last_tok = seq[last_at]
@@ -402,7 +443,9 @@ class InferenceEngine:
                     impl=impl, gemv_routes=gemv_routes,
                 )
                 nxt_b, acc_bit = spec_verify_tokens(
-                    step_out.logits, drafts[None], step_rng, *samp
+                    step_out.logits, drafts[None], step_rng, *samp,
+                    presence=pres if use_pen else None,
+                    penalty=pen_arr if use_pen else None,
                 )
                 nxt = nxt_b[0]  # [K+1]
 
@@ -413,6 +456,8 @@ class InferenceEngine:
                 j = jnp.arange(K + 1)
                 eos_hit = (j < n_commit) & (nxt == eos_token_id)
                 n_commit = jnp.minimum(n_commit, jnp.min(jnp.where(eos_hit, j, K + 1)) + 1)
+                if use_pen:
+                    pres = pres.at[jnp.zeros((K + 1,), jnp.int32), nxt].max(j < n_commit)
 
                 tidx = jnp.arange(max_new_tokens)
                 sel = (tidx >= count) & (tidx < count + n_commit)
@@ -424,10 +469,10 @@ class InferenceEngine:
 
                 done = done | jnp.any(eos_hit)[None]
                 return (tokens, done, count + n_commit, steps + 1,
-                        step_out.kv_cache, seq, rng)
+                        step_out.kv_cache, seq, pres, rng)
 
-            st = (tokens0, done0, count0, steps0, out.kv_cache, seq0, rng)
-            tokens, done, count, steps, _, _, _ = jax.lax.while_loop(cond, body, st)
+            st = (tokens0, done0, count0, steps0, out.kv_cache, seq0, pres0, rng)
+            tokens, done, count, steps, _, _, _, _ = jax.lax.while_loop(cond, body, st)
             return GenerateResult(
                 tokens=tokens, num_generated=count[None], prefill_logits=pre_logits,
                 steps=steps,
@@ -436,7 +481,7 @@ class InferenceEngine:
         return jax.jit(generate_fn)
 
     def _make_generate_spec_draft(self, max_new_tokens, temperature, top_p, top_k,
-                                  eos_token_id, use_image):
+                                  min_p, rep_pen, eos_token_id, use_image):
         """Draft-model speculative decode (batch-1).
 
         Per iteration: the draft LM rolls K greedy single-token steps from
@@ -466,11 +511,14 @@ class InferenceEngine:
         kv_dtype = self.kv_dtype
         K = self.spec_draft
         gemv_routes = self.gemv_routes
+        use_pen = rep_pen != 1.0
         samp = (
             jnp.asarray([temperature], jnp.float32),
             jnp.asarray([top_p], jnp.float32),
             jnp.asarray([top_k], jnp.int32),
+            jnp.asarray([min_p], jnp.float32),
         )
+        pen_arr = jnp.asarray([rep_pen], jnp.float32)
 
         def generate_fn(params, draft_params, input_ids, pixel_values, padding_mask, rng):
             b, s = input_ids.shape  # b == 1 (enforced by generate())
@@ -486,10 +534,22 @@ class InferenceEngine:
                 logits_positions=(true_len - 1)[:, None],
             )
             pre_logits = out.logits[:, 0]
+            if use_pen:
+                from llama32mm_tpu.utils.sampling import presence_from_tokens
+
+                safe_ids = jnp.where(
+                    input_ids == cfg.image_token_index, -1, input_ids
+                )
+                pres0 = presence_from_tokens(safe_ids, true_len, tc.vocab_size)
+            else:
+                pres0 = jnp.zeros((b, 1), jnp.bool_)
             rng, first_rng = jax.random.split(rng)
             first = select_next_token(
-                pre_logits, first_rng, temperature, top_p, top_k
+                pre_logits, first_rng, temperature, top_p, top_k, min_p,
+                presence=pres0 if use_pen else None, repetition_penalty=rep_pen,
             ).astype(jnp.int32)  # [1]
+            if use_pen:
+                pres0 = pres0.at[jnp.arange(b), first].max(True)
 
             # Draft prefill: same padded prompt/mask/slots, lm_head skipped
             # (only the cache is needed). Image-token ids fall outside the
@@ -514,11 +574,11 @@ class InferenceEngine:
             )
 
             def cond(st):
-                tokens, done, count, steps, cache, dcache, last, rng = st
+                tokens, done, count, steps, cache, dcache, last, pres, rng = st
                 return (count < max_new_tokens) & (~done[0])
 
             def body(st):
-                tokens, done, count, steps, cache, dcache, last, rng = st
+                tokens, done, count, steps, cache, dcache, last, pres, rng = st
                 rng, step_rng = jax.random.split(rng)
                 p_slot = (s + count - 1).astype(jnp.int32)
 
@@ -560,7 +620,9 @@ class InferenceEngine:
                     impl=impl, gemv_routes=gemv_routes,
                 )
                 nxt_b, acc_bit = spec_verify_tokens(
-                    step_out.logits, drafts[None], step_rng, *samp
+                    step_out.logits, drafts[None], step_rng, *samp,
+                    presence=pres if use_pen else None,
+                    penalty=pen_arr if use_pen else None,
                 )
                 nxt = nxt_b[0]  # [K+1]
 
@@ -569,6 +631,8 @@ class InferenceEngine:
                 j = jnp.arange(K + 1)
                 eos_hit = (j < n_commit) & (nxt == eos_token_id)
                 n_commit = jnp.minimum(n_commit, jnp.min(jnp.where(eos_hit, j, K + 1)) + 1)
+                if use_pen:
+                    pres = pres.at[jnp.zeros((K + 1,), jnp.int32), nxt].max(j < n_commit)
 
                 tidx = jnp.arange(max_new_tokens)
                 sel = (tidx >= count) & (tidx < count + n_commit)
@@ -578,10 +642,11 @@ class InferenceEngine:
 
                 done = done | jnp.any(eos_hit)[None]
                 return (tokens, done, count + n_commit, steps + 1,
-                        step_out.kv_cache, dcache, new_last, rng)
+                        step_out.kv_cache, dcache, new_last, pres, rng)
 
-            st = (tokens0, done0, count0, steps0, out.kv_cache, dcache, first[0], rng)
-            tokens, done, count, steps, _, _, _, _ = jax.lax.while_loop(cond, body, st)
+            st = (tokens0, done0, count0, steps0, out.kv_cache, dcache, first[0],
+                  pres0, rng)
+            tokens, done, count, steps, _, _, _, _, _ = jax.lax.while_loop(cond, body, st)
             return GenerateResult(
                 tokens=tokens, num_generated=count[None], prefill_logits=pre_logits,
                 steps=steps,
@@ -598,6 +663,8 @@ class InferenceEngine:
         temperature: float = 0.0,
         top_p: float = 0.9,
         top_k: int = 50,
+        min_p: float = 0.0,
+        repetition_penalty: float = 1.0,
         eos_token_id: int = -1,
         rng: Optional[jax.Array] = None,
     ) -> GenerateResult:
@@ -640,14 +707,15 @@ class InferenceEngine:
                     f"prompt ({s}) + max_new_tokens ({max_new_tokens}) + K > "
                     f"capacity {self.max_cache_length}"
                 )
-            key = (which, max_new_tokens, temperature, top_p, top_k,
-                   eos_token_id, use_image)
+            key = (which, max_new_tokens, temperature, top_p, top_k, min_p,
+                   repetition_penalty, eos_token_id, use_image)
             if key not in self._generate_jit:
                 make = (self._make_generate_spec if which == "spec"
                         else self._make_generate_spec_draft)
                 self._generate_jit[key] = make(*key[1:])
         else:
-            key = (max_new_tokens, temperature, top_p, top_k, eos_token_id, use_image)
+            key = (max_new_tokens, temperature, top_p, top_k, min_p,
+                   repetition_penalty, eos_token_id, use_image)
             if key not in self._generate_jit:
                 self._generate_jit[key] = self._make_generate(*key)
         px = (

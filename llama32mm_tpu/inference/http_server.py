@@ -95,6 +95,7 @@ class ServingFrontend:
     def submit(self, input_ids, pixel_values, max_new_tokens: int,
                prefix_id: Optional[int] = None, adapter_id: int = 0,
                temperature=None, top_p=None, top_k=None,
+               min_p=None, repetition_penalty=None,
                timeout_s: Optional[float] = None) -> int:
         with self._lock:
             if self._draining:
@@ -103,6 +104,7 @@ class ServingFrontend:
                 input_ids, pixel_values, max_new_tokens,
                 prefix_id=prefix_id, adapter_id=adapter_id,
                 temperature=temperature, top_p=top_p, top_k=top_k,
+                min_p=min_p, repetition_penalty=repetition_penalty,
                 timeout_s=timeout_s,
             )
             self._done_events[rid] = threading.Event()
@@ -310,6 +312,8 @@ def make_handler(frontend: ServingFrontend):
                     temperature=req.get("temperature"),
                     top_p=req.get("top_p"),
                     top_k=req.get("top_k"),
+                    min_p=req.get("min_p"),
+                    repetition_penalty=req.get("repetition_penalty"),
                     timeout_s=None if tmo is None else float(tmo),
                 )
                 if self.path == "/submit":

@@ -61,7 +61,11 @@ from llama32mm_tpu.configs import MLLAMAConfig
 from llama32mm_tpu.inference.engine import structured_prefill_mask
 from llama32mm_tpu.models.vlm import vlm_forward
 from llama32mm_tpu.utils.kvcache import KVCache, init_kv_cache
-from llama32mm_tpu.utils.sampling import select_next_token_traced, spec_verify_tokens
+from llama32mm_tpu.utils.sampling import (
+    presence_from_tokens,
+    select_next_token_traced,
+    spec_verify_tokens,
+)
 
 
 class QueueFullError(RuntimeError):
@@ -85,8 +89,8 @@ class BatchState(NamedTuple):
     last_token: jax.Array  # [B] int32: last sampled token (fed next step)
     seq: Optional[jax.Array] = None  # [B, S] int32 true token history per
     # slot (prompt + committed, densely at their true positions; invariant:
-    # seq[b, rope_pos[b]] = last_token[b]) — maintained only when
-    # spec_lookup > 0, it feeds the bigram draft lookup
+    # seq[b, rope_pos[b]] = last_token[b]) — feeds the spec-mode bigram
+    # draft lookup and the repetition penalty's context-presence mask
 
 
 class _Request:
@@ -97,7 +101,7 @@ class _Request:
     )
 
     def __init__(self, rid, input_ids, pixel_values, max_new_tokens, prefix=None,
-                 adapter_id=0, sampler=(0.0, 0.9, 50), deadline=None):
+                 adapter_id=0, sampler=(0.0, 0.9, 50, 0.0, 1.0), deadline=None):
         self.rid = rid
         self.input_ids = input_ids  # np [s]
         self.pixel_values = pixel_values  # np [3, H, W] or None
@@ -108,7 +112,7 @@ class _Request:
         self.prompt_len = int(input_ids.shape[-1])
         self.prefix: Optional[_Prefix] = prefix
         self.adapter_id = adapter_id
-        self.sampler = sampler  # (temperature, top_p, top_k) for this request
+        self.sampler = sampler  # (T, top_p, top_k, min_p, rep_penalty) for this request
         self.deadline = deadline  # absolute time.monotonic() cutoff or None
         self.timed_out = False
 
@@ -154,6 +158,8 @@ class ContinuousBatchingServer:
         temperature: float = 0.0,
         top_p: float = 0.9,
         top_k: int = 50,
+        min_p: float = 0.0,
+        repetition_penalty: float = 1.0,
         eos_token_id: int = -1,
         steps_per_sync: int = 8,
         prefill_chunk: Optional[int] = None,
@@ -218,7 +224,7 @@ class ContinuousBatchingServer:
             else:
                 gemv_routes = None
         self.gemv_routes = gemv_routes
-        self.sampler = (temperature, top_p, top_k)
+        self.sampler = (temperature, top_p, top_k, min_p, repetition_penalty)
         self.eos_token_id = eos_token_id
         self.steps_per_sync = steps_per_sync
         self.spec_lookup = int(spec_lookup)
@@ -236,15 +242,13 @@ class ContinuousBatchingServer:
             last_token=jnp.zeros((slots,), jnp.int32),
             seq=(
                 jnp.zeros((slots, self.max_cache_length), jnp.int32)
-                if self.spec_lookup > 0
-                else None
             ),
         )
 
         self._queue: deque[_Request] = deque()
         self._by_slot: list[Optional[_Request]] = [None] * slots
         self._slot_adapter = [0] * slots  # adapter index per slot (bank mode)
-        self._slot_sampler = [self.sampler] * slots  # (T, p, k) per slot
+        self._slot_sampler = [self.sampler] * slots  # (T, p, k, min_p, pen) per slot
         self._slot_samp_cache = None  # device copies of ^, rebuilt on admission
         self._results: dict[int, _Request] = {}
         self._next_id = 0
@@ -277,12 +281,15 @@ class ContinuousBatchingServer:
 
     @staticmethod
     def _samp_args(sampler):
-        """(T, p, k) → traced [1]-arrays for the single-request programs."""
-        t, p, k = sampler
+        """(T, p, k, min_p, pen) → traced [1]-arrays for the single-request
+        programs."""
+        t, p, k, mp, pen = sampler
         return (
             jnp.asarray([t], jnp.float32),
             jnp.asarray([p], jnp.float32),
             jnp.asarray([k], jnp.int32),
+            jnp.asarray([mp], jnp.float32),
+            jnp.asarray([pen], jnp.float32),
         )
 
     def _slot_samp_args(self):
@@ -294,6 +301,8 @@ class ContinuousBatchingServer:
                 jnp.asarray([s[0] for s in self._slot_sampler], jnp.float32),
                 jnp.asarray([s[1] for s in self._slot_sampler], jnp.float32),
                 jnp.asarray([s[2] for s in self._slot_sampler], jnp.int32),
+                jnp.asarray([s[3] for s in self._slot_sampler], jnp.float32),
+                jnp.asarray([s[4] for s in self._slot_sampler], jnp.float32),
             )
         return self._slot_samp_cache
 
@@ -321,8 +330,11 @@ class ContinuousBatchingServer:
                     logits_positions=(true_len - 1)[:, None],
                     lora=lora,
                 )
+            safe_ids = jnp.where(ids == cfg.image_token_index, -1, ids)
+            pres = presence_from_tokens(safe_ids, true_len, tc.vocab_size)
             first = select_next_token_traced(
-                out.logits[:, 0], rng, samp[0], samp[1], samp[2]
+                out.logits[:, 0], rng, samp[0], samp[1], samp[2],
+                samp[3], pres, samp[4],
             )
             first = first[0].astype(jnp.int32)
 
@@ -396,10 +408,31 @@ class ContinuousBatchingServer:
                         lora=lora,
                         gemv_routes=gemv_routes,
                     )
+                B = st.rope_pos.shape[0]
+
+                def _pres():
+                    # context presence from the true token history; image
+                    # placeholder ids are not penalizable vocab tokens
+                    safe = jnp.where(st.seq == cfg.image_token_index, -1, st.seq)
+                    return presence_from_tokens(
+                        safe, st.rope_pos + 1, tc.vocab_size
+                    )
+
+                # the [B, S] → [B, V] presence scatter only runs when some
+                # slot actually has a repetition penalty
+                pres = jax.lax.cond(
+                    jnp.all(slot_samp[4] == 1.0),
+                    lambda: jnp.zeros((B, tc.vocab_size), jnp.bool_),
+                    _pres,
+                )
                 nxt = select_next_token_traced(
                     out.logits[:, -1], step_rng,
                     slot_samp[0], slot_samp[1], slot_samp[2],
+                    slot_samp[3], pres, slot_samp[4],
                 ).astype(jnp.int32)
+                upd_seq = st.seq.at[
+                    jnp.arange(B), jnp.clip(st.rope_pos + 1, 0, S - 1)
+                ].set(nxt)
                 # Only active slots advance; idle slots keep rewriting the
                 # same (masked) scratch position and their state is fully
                 # reset on the next admission.
@@ -413,6 +446,7 @@ class ContinuousBatchingServer:
                         ),
                         rope_pos=jnp.where(active, st.rope_pos + 1, st.rope_pos),
                         last_token=jnp.where(active, nxt, st.last_token),
+                        seq=jnp.where(active[:, None], upd_seq, st.seq),
                     ),
                     nxt,
                 )
@@ -493,9 +527,19 @@ class ContinuousBatchingServer:
                     impl=impl, lora=lora, gemv_routes=gemv_routes,
                 )
                 # --- rejection-sampling verify (greedy rows = argmax) ---
+                def _pres():
+                    safe = jnp.where(seq == cfg.image_token_index, -1, seq)
+                    return presence_from_tokens(safe, rp + 1, tc.vocab_size)
+
+                pres = jax.lax.cond(
+                    jnp.all(slot_samp[4] == 1.0),
+                    lambda: jnp.zeros((B, tc.vocab_size), jnp.bool_),
+                    _pres,
+                )
                 nxt, acc_bit = spec_verify_tokens(
                     out.logits, drafts, step_rng,
                     slot_samp[0], slot_samp[1], slot_samp[2],
+                    slot_samp[3], pres, slot_samp[4],
                 )  # [B, K+1] int32, [B, K] bool
 
                 # --- per-slot commit: longest accepted prefix + bonus ---
@@ -615,9 +659,18 @@ class ContinuousBatchingServer:
         return jax.jit(chunk_fn, donate_argnums=(1,) if self._donate else ())
 
     def _make_splice(self):
+        cfg = self.config
+        tc = cfg.text_config
+
         def splice_fn(params, state: BatchState, scratch: KVCache, logits,
                       pad_row, ids_row, filled, true_len, slot, rng, samp):
-            first = select_next_token_traced(logits, rng, samp[0], samp[1], samp[2])
+            safe_ids = jnp.where(ids_row == cfg.image_token_index, -1, ids_row)
+            pres = presence_from_tokens(
+                safe_ids, jnp.reshape(true_len, (1,)), tc.vocab_size
+            )
+            first = select_next_token_traced(
+                logits, rng, samp[0], samp[1], samp[2], samp[3], pres, samp[4]
+            )
             first = first[0].astype(jnp.int32)
             c = state.cache
             k = jax.lax.dynamic_update_slice(c.k, scratch.k, (0, slot, 0, 0, 0))
@@ -864,6 +917,8 @@ class ContinuousBatchingServer:
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
         top_k: Optional[int] = None,
+        min_p: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
         timeout_s: Optional[float] = None,
     ) -> int:
         """Queue a request; returns its id. ``input_ids``: [s] or [1, s] — the
@@ -872,11 +927,14 @@ class ContinuousBatchingServer:
         longest registered auto-match prefix (with the same ``adapter_id``).
         ``adapter_id`` selects this request's LoRA from the server's
         ``adapter_bank`` (0 = the bank's first entry, conventionally the
-        identity adapter). ``temperature``/``top_p``/``top_k`` override the
-        server defaults for THIS request — sampler settings are traced, so a
-        batch mixes per-request samplers in one executable and new settings
-        never recompile; with ``spec_lookup`` active, sampled requests verify
-        drafts by rejection sampling and keep their exact distribution).
+        identity adapter). ``temperature``/``top_p``/``top_k``/``min_p``/
+        ``repetition_penalty`` override the server defaults for THIS request
+        — sampler settings are traced, so a batch mixes per-request samplers
+        in one executable and new settings never recompile; with
+        ``spec_lookup`` active, sampled requests verify drafts by rejection
+        sampling and keep their exact distribution (the repetition penalty
+        composes exactly too: a verified position's presence set includes
+        the earlier drafts of its own chunk — ``spec_verify_tokens``).
         ``timeout_s`` sets a per-request deadline: a request still queued or
         decoding ``timeout_s`` seconds after submission is expired at the
         next ``step()`` (it finishes with whatever tokens it has, flagged
@@ -891,7 +949,13 @@ class ContinuousBatchingServer:
             self.sampler[0] if temperature is None else float(temperature),
             self.sampler[1] if top_p is None else float(top_p),
             self.sampler[2] if top_k is None else int(top_k),
+            self.sampler[3] if min_p is None else float(min_p),
+            self.sampler[4]
+            if repetition_penalty is None
+            else float(repetition_penalty),
         )
+        if sampler[4] <= 0:
+            raise ValueError(f"repetition_penalty must be > 0, got {sampler[4]}")
         ids = np.asarray(input_ids)
         if ids.ndim == 2 and ids.shape[0] == 1:
             ids = ids[0]

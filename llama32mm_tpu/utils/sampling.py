@@ -1,4 +1,5 @@
-"""Token sampling: greedy / temperature / top-k / top-p.
+"""Token sampling: greedy / temperature / top-k / top-p / min-p /
+repetition penalty.
 
 Parity target: reference ``select_next_token``
 (``Inference/Inference.py:85-106``):
@@ -8,6 +9,17 @@ Parity target: reference ``select_next_token``
   nucleus with the reference's *exclusive-of-current-token* cumulative rule
   (a token survives while ``cumsum - prob(token) <= top_p``,
   ``Inference.py:102``) → categorical sample.
+
+Beyond the reference (standard serving samplers, HF-rule semantics, tested
+against ``transformers`` processors as the oracle):
+
+- ``min_p``: drop tokens whose probability is below ``min_p`` × the top
+  token's probability. A pure ratio test — ``prob(v)/prob(argmax) =
+  exp(logit_v - logit_max)`` is invariant under masking other tokens — so it
+  needs no sort and composes order-independently with top-k/top-p.
+- ``repetition_penalty``: CTRL rule — logits of tokens already present in
+  the row's context are divided by the penalty when positive, multiplied
+  when negative. Applies to greedy decoding too (it changes the argmax).
 """
 
 from __future__ import annotations
@@ -18,16 +30,55 @@ import jax
 import jax.numpy as jnp
 
 
+def apply_repetition_penalty(
+    logits: jax.Array,  # [..., V]
+    presence: jax.Array,  # [..., V] bool: token appears in the row's context
+    penalty,  # scalar or [...]-shaped float (1.0 = disabled)
+) -> jax.Array:
+    """CTRL repetition penalty (HF ``RepetitionPenaltyLogitsProcessor``
+    semantics): for context-present tokens, positive logits are divided by
+    ``penalty`` and negative logits multiplied by it. Returns fp32 logits."""
+    l = logits.astype(jnp.float32)
+    pen = jnp.asarray(penalty, jnp.float32)
+    if pen.ndim:
+        pen = pen.reshape(pen.shape + (1,) * (l.ndim - pen.ndim))
+    pl = jnp.where(l > 0, l / pen, l * pen)
+    return jnp.where(presence, pl, l)
+
+
+def presence_from_tokens(
+    tokens: jax.Array,  # [B, S] int token history (right-padded rows)
+    n_valid: jax.Array,  # [B] count of valid leading entries per row
+    vocab_size: int,
+) -> jax.Array:
+    """Scatter a token history into a [B, vocab] presence mask. Entries past
+    ``n_valid`` and ids outside the vocab (e.g. the image placeholder id ==
+    vocab_size, SURVEY §2.9 #10) are ignored."""
+    b, s = tokens.shape
+    valid = (jnp.arange(s)[None, :] < n_valid[:, None]) & (tokens >= 0) & (
+        tokens < vocab_size
+    )
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
+    pres = jnp.zeros((b, vocab_size), jnp.bool_)
+    return pres.at[rows, jnp.clip(tokens, 0, vocab_size - 1)].max(valid)
+
+
 def filter_logits(
     logits: jax.Array,  # [..., V]
     temperature: float,
     top_p: float = 0.9,
     top_k: int = 50,
+    min_p: float = 0.0,
 ) -> jax.Array:
-    """Temperature-scale then apply the top-k / top-p masks; returns filtered
-    fp32 logits (−inf on removed tokens). Requires ``temperature > 0``."""
+    """Temperature-scale then apply the min-p / top-k / top-p masks; returns
+    filtered fp32 logits (−inf on removed tokens). Requires
+    ``temperature > 0``."""
     logits = logits.astype(jnp.float32) / temperature
     neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
+
+    if min_p > 0.0:
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        logits = jnp.where(logits < lmax + jnp.log(min_p), neg_inf, logits)
 
     if top_k > 0:
         k = min(top_k, logits.shape[-1])
@@ -55,12 +106,21 @@ def select_next_token(
     temperature: float = 0.0,
     top_p: float = 0.9,
     top_k: int = 50,
+    min_p: float = 0.0,
+    presence: jax.Array = None,  # [..., V] bool context-presence mask
+    repetition_penalty: float = 1.0,
 ) -> jax.Array:
     """Sample token ids ``[...]`` from logits. ``temperature``/``top_p``/
-    ``top_k`` are static (python) values, matching the CLI flags."""
+    ``top_k``/``min_p``/``repetition_penalty`` are static (python) values,
+    matching the CLI flags. The repetition penalty applies before the
+    greedy/sampled split — it reshapes the argmax too."""
+    if repetition_penalty != 1.0 and presence is not None:
+        logits = apply_repetition_penalty(logits, presence, repetition_penalty)
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
-    return jax.random.categorical(rng, filter_logits(logits, temperature, top_p, top_k), axis=-1)
+    return jax.random.categorical(
+        rng, filter_logits(logits, temperature, top_p, top_k, min_p), axis=-1
+    )
 
 
 def filter_logits_traced(
@@ -68,6 +128,7 @@ def filter_logits_traced(
     temperature: jax.Array,  # [B] float
     top_p: jax.Array,  # [B] float
     top_k: jax.Array,  # [B] int
+    min_p: jax.Array = None,  # [B] float (None/0 = disabled)
 ) -> jax.Array:
     """``filter_logits`` with TRACED per-row sampler settings — one compiled
     program serves every (temperature, top_p, top_k) combination, so a
@@ -80,6 +141,14 @@ def filter_logits_traced(
     t = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
     logits = logits.astype(jnp.float32) / t
     neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+
+    if min_p is not None:
+        # ratio test: keep v while prob(v) >= min_p * prob(argmax), i.e.
+        # logit_v >= logit_max + log(min_p) — no sort needed, and invariant
+        # to where it sits relative to the top-k/top-p masks.
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        thresh = lmax + jnp.log(jnp.maximum(min_p.astype(jnp.float32), 1e-30))[:, None]
+        logits = jnp.where((min_p > 0.0)[:, None] & (logits < thresh), neg_inf, logits)
 
     sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
     k = jnp.clip(top_k, 1, V).astype(jnp.int32)
@@ -105,6 +174,9 @@ def spec_verify_tokens(
     temperature: jax.Array,  # [B]
     top_p: jax.Array,  # [B]
     top_k: jax.Array,  # [B]
+    min_p: jax.Array = None,  # [B] float (None/0 = disabled)
+    presence: jax.Array = None,  # [B, V] bool context presence at chunk start
+    penalty: jax.Array = None,  # [B] repetition penalty (1.0 = disabled)
 ) -> tuple:
     """Rejection-sampling verification of deterministic drafts (speculative
     decoding × sampling; reference sampler semantics per row).
@@ -125,9 +197,32 @@ def spec_verify_tokens(
     prefix (the caller's existing cumprod+1 rule) yields accepted drafts,
     then the replacement at the first miss — or the bonus token at position
     K when everything was accepted. An all-greedy batch skips the full-vocab
-    filter through the same ``lax.cond`` fast path as the plain sampler."""
+    filter through the same ``lax.cond`` fast path as the plain sampler.
+
+    Repetition penalty composes EXACTLY with speculation: position ``j``'s
+    distribution is only consulted when drafts ``0..j-1`` were all accepted
+    (and therefore committed), so its true context presence is the
+    chunk-start ``presence`` plus exactly those drafts — a cumulative
+    one-hot, computable for all positions in parallel. Committed tokens are
+    then distributed identically to non-speculative penalized decoding."""
     B, K1, V = logits.shape
     K = K1 - 1
+    if penalty is not None and presence is not None:
+
+        def _penalize(l):
+            dh = drafts[..., None] == jnp.arange(V)[None, None, :]  # [B,K,V]
+            cum = jnp.cumsum(dh.astype(jnp.int32), axis=1) > 0
+            pres = jnp.concatenate(
+                [presence[:, None], presence[:, None] | cum], axis=1
+            )  # [B, K+1, V]
+            return apply_repetition_penalty(l, pres, penalty)
+
+        logits = jax.lax.cond(
+            jnp.all(penalty == 1.0),
+            lambda l: l.astype(jnp.float32),
+            _penalize,
+            logits,
+        )
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K+1]
     acc_greedy = drafts == greedy[:, :K]
 
@@ -135,7 +230,8 @@ def spec_verify_tokens(
         flat = logits.reshape(B * K1, V)
         rep = lambda a: jnp.repeat(a, K1)  # noqa: E731 — row b, pos j → b*K1+j
         filt = filter_logits_traced(
-            flat, rep(temperature), rep(top_p), rep(top_k)
+            flat, rep(temperature), rep(top_p), rep(top_k),
+            None if min_p is None else rep(min_p),
         ).reshape(B, K1, V)
         p = jax.nn.softmax(filt, axis=-1)
         r_acc, r_repl, r_bonus = jax.random.split(rng, 3)
@@ -169,6 +265,9 @@ def select_next_token_traced(
     temperature: jax.Array,  # [B]
     top_p: jax.Array,  # [B]
     top_k: jax.Array,  # [B]
+    min_p: jax.Array = None,  # [B] float (None/0 = disabled)
+    presence: jax.Array = None,  # [B, V] bool context presence per row
+    penalty: jax.Array = None,  # [B] repetition penalty (1.0 = disabled)
 ) -> jax.Array:
     """Per-row sampling with traced settings: rows with ``temperature <= 0``
     take the argmax (greedy — bit-equal to the static path), the rest sample
@@ -178,11 +277,20 @@ def select_next_token_traced(
     The filter sorts the full vocab ([B, 128k]) — expensive per decode step —
     so an all-greedy batch skips it through a runtime ``lax.cond`` (measured:
     unconditional filtering halved 4-slot greedy serving throughput, 223 →
-    118 tok/s aggregate; still ONE executable for any settings mix)."""
+    118 tok/s aggregate; still ONE executable for any settings mix). The
+    repetition penalty applies BEFORE that split (it reshapes the greedy
+    argmax too), behind its own all-disabled ``lax.cond`` fast path."""
+    if penalty is not None and presence is not None:
+        logits = jax.lax.cond(
+            jnp.all(penalty == 1.0),
+            lambda l: l.astype(jnp.float32),
+            lambda l: apply_repetition_penalty(l, presence, penalty),
+            logits,
+        )
     greedy = jnp.argmax(logits, axis=-1)
 
     def _sample(_):
-        filt = filter_logits_traced(logits, temperature, top_p, top_k)
+        filt = filter_logits_traced(logits, temperature, top_p, top_k, min_p)
         sampled = jax.random.categorical(rng, filt, axis=-1)
         return jnp.where(temperature <= 0.0, greedy, sampled)
 

@@ -102,7 +102,7 @@ def serve_case(name, cfg, mesh, batch, prompt_len, max_new, cache_len,
     tc = cfg.text_config
     params = abstract_params(cfg, mesh, vision_tp=vision_tp)
     eng = InferenceEngine(params, cfg, max_cache_length=cache_len, gemv_routes=None)
-    gen = eng._make_generate(max_new, 0.0, 0.9, 50, -1, True)
+    gen = eng._make_generate(max_new, 0.0, 0.9, 50, 0.0, 1.0, -1, True)
 
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("dp")) if mesh.shape.get("dp", 1) > 1 else repl

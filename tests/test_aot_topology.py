@@ -44,7 +44,7 @@ def test_topology_aot_serving_generate():
     )
 
     eng = InferenceEngine(params, cfg, max_cache_length=256, gemv_routes=None)
-    gen = eng._make_generate(8, 0.0, 0.9, 50, -1, True)
+    gen = eng._make_generate(8, 0.0, 0.9, 50, 0.0, 1.0, -1, True)
     repl = NamedSharding(mesh, P())
     b, s = 1, 96
     img = cfg.vision_config.image_size
