@@ -668,6 +668,13 @@ class InferenceEngine:
         eos_token_id: int = -1,
         rng: Optional[jax.Array] = None,
     ) -> GenerateResult:
+        if not (0.0 <= min_p <= 1.0):
+            # min_p > 1 masks every token (threshold above the argmax prob)
+            raise ValueError(f"min_p must be in [0, 1], got {min_p}")
+        if repetition_penalty <= 0:
+            raise ValueError(
+                f"repetition_penalty must be > 0, got {repetition_penalty}"
+            )
         input_ids = jnp.asarray(input_ids)
         b, s = input_ids.shape
         if attention_mask is None:

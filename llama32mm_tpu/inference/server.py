@@ -956,6 +956,10 @@ class ContinuousBatchingServer:
         )
         if sampler[4] <= 0:
             raise ValueError(f"repetition_penalty must be > 0, got {sampler[4]}")
+        if not (0.0 <= sampler[3] <= 1.0):
+            # min_p > 1 puts the threshold above the argmax probability and
+            # masks EVERY token to -inf; HF validates the same range.
+            raise ValueError(f"min_p must be in [0, 1], got {sampler[3]}")
         ids = np.asarray(input_ids)
         if ids.ndim == 2 and ids.shape[0] == 1:
             ids = ids[0]
@@ -1101,7 +1105,11 @@ class ContinuousBatchingServer:
         # would keep defeating the all-greedy lax.cond fast path (full-vocab
         # sort every step — the measured 223→118 tok/s regression) for as
         # long as the slot sits idle.
-        self._slot_sampler[req.slot] = (0.0, self.sampler[1], self.sampler[2])
+        # Full 5-tuple (T, top_p, top_k, min_p, rep_penalty): _slot_samp_args
+        # indexes s[3]/s[4] on every rebuild, so a short tuple here would
+        # crash the serving loop the first time one request finishes while
+        # others are still decoding.
+        self._slot_sampler[req.slot] = (0.0, self.sampler[1], self.sampler[2], 0.0, 1.0)
         self._slot_samp_cache = None
         req.slot = None
 

@@ -16,7 +16,9 @@ against ``transformers`` processors as the oracle):
 - ``min_p``: drop tokens whose probability is below ``min_p`` × the top
   token's probability. A pure ratio test — ``prob(v)/prob(argmax) =
   exp(logit_v - logit_max)`` is invariant under masking other tokens — so it
-  needs no sort and composes order-independently with top-k/top-p.
+  needs no sort. Applied AFTER top-k/top-p (HF warper order): its own mask is
+  order-invariant, but top-p's nucleus cumsum must run over probabilities not
+  renormalized by a prior min-p mask.
 - ``repetition_penalty``: CTRL rule — logits of tokens already present in
   the row's context are divided by the penalty when positive, multiplied
   when negative. Applies to greedy decoding too (it changes the argmax).
@@ -70,15 +72,11 @@ def filter_logits(
     top_k: int = 50,
     min_p: float = 0.0,
 ) -> jax.Array:
-    """Temperature-scale then apply the min-p / top-k / top-p masks; returns
-    filtered fp32 logits (−inf on removed tokens). Requires
-    ``temperature > 0``."""
+    """Temperature-scale then apply the top-k / top-p / min-p masks (HF
+    warper order); returns filtered fp32 logits (−inf on removed tokens).
+    Requires ``temperature > 0``."""
     logits = logits.astype(jnp.float32) / temperature
     neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
-
-    if min_p > 0.0:
-        lmax = jnp.max(logits, axis=-1, keepdims=True)
-        logits = jnp.where(logits < lmax + jnp.log(min_p), neg_inf, logits)
 
     if top_k > 0:
         k = min(top_k, logits.shape[-1])
@@ -96,6 +94,15 @@ def filter_logits(
         # scatter back to vocabulary order
         inv = jnp.argsort(sorted_order, axis=-1)
         logits = jnp.take_along_axis(sorted_logits, inv, axis=-1)
+
+    if min_p > 0.0:
+        # HF warper order: temperature → top_k → top_p → min_p. Applying the
+        # ratio test LAST matters for top-p: its cumsum must run over
+        # probabilities NOT renormalized by a prior min-p mask, or the
+        # nucleus shrinks. The test itself is mask-invariant (the argmax
+        # survives top-k/top-p, and prob ratios are softmax-invariant).
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        logits = jnp.where(logits < lmax + jnp.log(min_p), neg_inf, logits)
 
     return logits
 
@@ -142,14 +149,6 @@ def filter_logits_traced(
     logits = logits.astype(jnp.float32) / t
     neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
 
-    if min_p is not None:
-        # ratio test: keep v while prob(v) >= min_p * prob(argmax), i.e.
-        # logit_v >= logit_max + log(min_p) — no sort needed, and invariant
-        # to where it sits relative to the top-k/top-p masks.
-        lmax = jnp.max(logits, axis=-1, keepdims=True)
-        thresh = lmax + jnp.log(jnp.maximum(min_p.astype(jnp.float32), 1e-30))[:, None]
-        logits = jnp.where((min_p > 0.0)[:, None] & (logits < thresh), neg_inf, logits)
-
     sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
     k = jnp.clip(top_k, 1, V).astype(jnp.int32)
     kth_val = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
@@ -164,7 +163,18 @@ def filter_logits_traced(
     drop = ((cum - probs) > top_p[:, None]) & (top_p < 1.0)[:, None]
     sorted2 = jnp.where(drop, neg_inf, sorted2)
     inv = jnp.argsort(order, axis=-1)
-    return jnp.take_along_axis(sorted2, inv, axis=-1)
+    logits = jnp.take_along_axis(sorted2, inv, axis=-1)
+
+    if min_p is not None:
+        # min-p LAST (HF warper order temperature → top_k → top_p → min_p):
+        # ratio test keep v while prob(v) >= min_p * prob(argmax), i.e.
+        # logit_v >= logit_max + log(min_p) — no sort needed. Running it
+        # after top-p keeps the nucleus cumsum over un-renormalized probs.
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        thresh = lmax + jnp.log(jnp.maximum(min_p.astype(jnp.float32), 1e-30))[:, None]
+        logits = jnp.where((min_p > 0.0)[:, None] & (logits < thresh), neg_inf, logits)
+
+    return logits
 
 
 def spec_verify_tokens(

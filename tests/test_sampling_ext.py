@@ -256,3 +256,31 @@ def test_engine_min_p_sampling_smoke(tiny_engine_setup):
     forced = eng.generate(ids, px, max_new_tokens=8, temperature=0.8,
                           min_p=1.0, top_p=1.0, top_k=0, eos_token_id=-1)
     np.testing.assert_array_equal(np.asarray(greedy.tokens), np.asarray(forced.tokens))
+
+
+def test_min_p_with_top_p_matches_transformers():
+    """min_p>0 composed with top_p<1 (+top_k) in HF warper order
+    (temperature → top_k → top_p → min_p): top-p's nucleus cumsum must run
+    over probabilities NOT renormalized by a prior min-p mask (ADVICE r3,
+    medium). Oracle: the transformers warpers chained in generation order."""
+    torch = pytest.importorskip("torch")
+    from transformers import MinPLogitsWarper, TopKLogitsWarper, TopPLogitsWarper
+
+    for key, top_p, top_k, min_p in [(7, 0.8, 20, 0.15), (8, 0.6, 0, 0.3),
+                                     (9, 0.95, 40, 0.02)]:
+        logits = _rand_logits(key)
+        got = np.asarray(
+            filter_logits(logits, temperature=1.0, top_p=top_p, top_k=top_k,
+                          min_p=min_p)
+        )
+        x = torch.tensor(np.asarray(logits), dtype=torch.float32)
+        warpers = ([TopKLogitsWarper(top_k=top_k)] if top_k > 0 else []) + [
+            TopPLogitsWarper(top_p=top_p),
+            MinPLogitsWarper(min_p=min_p),
+        ]
+        for w in warpers:
+            x = w(None, x)
+        want = x.numpy()
+        np.testing.assert_array_equal(np.isneginf(got), np.isneginf(want))
+        keep = ~np.isneginf(got)
+        np.testing.assert_allclose(got[keep], want[keep], rtol=1e-5)

@@ -118,3 +118,39 @@ def test_submit_rejects_bad_penalty(tiny):
     with pytest.raises(ValueError, match="repetition_penalty"):
         srv.submit(_prompt(cfg, 9)[0], None, max_new_tokens=4,
                    repetition_penalty=0.0)
+
+
+def test_server_staggered_completion_slot_reset(tiny):
+    """One request finishes while the other keeps decoding: the freed slot's
+    sampler must be reset with the FULL 5-tuple (T, top_p, top_k, min_p,
+    rep_penalty) — _slot_samp_args indexes s[3]/s[4] on the next rebuild, so
+    a 3-tuple reset crashes the serving loop (ADVICE r3, high). Surviving
+    request must still match its offline-engine run."""
+    cfg, params = tiny
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    ids_a, ids_b = _prompt(cfg, 9, 1), _prompt(cfg, 12, 5)
+    want_a = _engine_tokens(cfg, params, ids_a, px, 3)
+    want_b = _engine_tokens(cfg, params, ids_b, px, 10)
+
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=2, max_cache_length=64, prompt_buckets=(16, 24),
+        steps_per_sync=3, eos_token_id=-1,
+    )
+    ra = srv.submit(ids_a[0], px[0], max_new_tokens=3)
+    rb = srv.submit(ids_b[0], px[0], max_new_tokens=10)
+    got = _drain(srv, [ra, rb])
+    assert got[ra] == want_a
+    assert got[rb] == want_b
+
+
+def test_submit_rejects_bad_min_p(tiny):
+    """min_p outside [0, 1] masks every token (threshold above the argmax
+    prob) — reject like HF does (ADVICE r3, low)."""
+    cfg, params = tiny
+    srv = ContinuousBatchingServer(
+        params, cfg, slots=1, max_cache_length=64, eos_token_id=-1,
+    )
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError, match="min_p"):
+            srv.submit(_prompt(cfg, 9)[0], None, max_new_tokens=4,
+                       temperature=0.5, min_p=bad)
