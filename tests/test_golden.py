@@ -2,7 +2,8 @@
 path (SURVEY §4) — runs without the reference mount. The trace
 (tests/golden/tiny_vlm_trace.npz) holds the oracle's weights (converted to
 this framework's layout), inputs, logits, and loss for the tiny fp32 config;
-regenerate with the snippet in the git history if the tiny config changes."""
+regenerate with ``python scripts/make_golden_trace.py`` (needs the reference
+mount) if the tiny config changes."""
 
 import os
 
