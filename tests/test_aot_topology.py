@@ -14,6 +14,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 
 def _topo_mesh():
     from jax.experimental import topologies

@@ -19,6 +19,8 @@ from llama32mm_tpu.models.vlm import init_vlm_params, vlm_forward
 from llama32mm_tpu.ops.awq import awq_equalize, calibrate_stats
 from llama32mm_tpu.ops.quant import INT4_MIXED_RECIPE, quantize_llama_params
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg():
     return MLLAMAConfig(

@@ -449,6 +449,7 @@ def test_streaming_quantized_load_matches_post_quantize(tmp_path):
     np.testing.assert_array_equal(np.asarray(res_w.tokens), np.asarray(res_g.tokens))
 
 
+@pytest.mark.slow
 def test_streaming_int4_load_matches_post_quantize(tmp_path):
     """streaming + quantize_int4 = the only route from a checkpoint to the
     packed-int4 serving form at scales where the bf16 stack cannot exist;

@@ -12,6 +12,8 @@ from llama32mm_tpu import init_vlm_params, tiny_mllama_config
 from llama32mm_tpu.io import ShardedCheckpointer, TrainCheckpointManager, abstract_state
 from llama32mm_tpu.train import make_train_step
 
+pytestmark = pytest.mark.slow
+
 needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
 

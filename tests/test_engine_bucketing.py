@@ -9,6 +9,8 @@ import pytest
 from llama32mm_tpu import init_vlm_params, tiny_mllama_config
 from llama32mm_tpu.inference.engine import InferenceEngine
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

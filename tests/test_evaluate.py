@@ -9,6 +9,8 @@ import pytest
 from llama32mm_tpu import init_vlm_params, tiny_mllama_config
 from llama32mm_tpu.evaluate import agreement, perplexity
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

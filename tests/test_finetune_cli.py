@@ -14,6 +14,8 @@ from llama32mm_tpu.configs import LLAMA32Config, MLLAMAConfig, VisionEncoderConf
 from llama32mm_tpu.models.vlm import init_vlm_params
 from llama32mm_tpu.train.finetune import main
 
+pytestmark = pytest.mark.slow
+
 ASSET = os.path.join(os.path.dirname(__file__), "assets", "tiny_tokenizer")
 
 

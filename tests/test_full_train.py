@@ -11,6 +11,8 @@ from llama32mm_tpu import init_vlm_params, tiny_mllama_config
 from llama32mm_tpu.models.vlm import vlm_forward
 from llama32mm_tpu.train import make_train_step
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

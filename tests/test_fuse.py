@@ -11,6 +11,8 @@ from llama32mm_tpu import init_vlm_params, tiny_mllama_config
 from llama32mm_tpu.models.fuse import fuse_decoder_params
 from llama32mm_tpu.models.vlm import vlm_forward
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

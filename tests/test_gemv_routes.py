@@ -29,6 +29,9 @@ from llama32mm_tpu.ops.pallas.gemv import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def _rand(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, jnp.float32, -0.5, 0.5).astype(dtype)
 

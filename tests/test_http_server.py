@@ -15,6 +15,8 @@ from llama32mm_tpu.inference.engine import InferenceEngine
 from llama32mm_tpu.inference.http_server import ServingFrontend, serve_forever
 from llama32mm_tpu.inference.server import ContinuousBatchingServer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def live():

@@ -15,6 +15,8 @@ from llama32mm_tpu.inference.engine import (
 from llama32mm_tpu.models.vlm import vlm_forward
 from llama32mm_tpu.utils.sampling import filter_logits, select_next_token
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

@@ -17,6 +17,9 @@ from llama32mm_tpu.ops.quant import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_int4_roundtrip_error_bound():
     w = jax.random.normal(jax.random.PRNGKey(0), (64, 48), jnp.float32)
     qw = quantize_weight_int4(w, group_size=16)

@@ -20,6 +20,9 @@ from llama32mm_tpu.train.lora import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def tiny():
     cfg = tiny_mllama_config()

@@ -12,7 +12,7 @@ from llama32mm_tpu.io.native_st import (
     native_available,
 )
 
-pytestmark = pytest.mark.skipif(not ensure_built(), reason="g++ unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not ensure_built(), reason="g++ unavailable")]
 
 
 @pytest.fixture()

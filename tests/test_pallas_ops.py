@@ -315,6 +315,7 @@ def test_flash_vjp_under_jit_and_second_call():
     assert np.all(np.isfinite(np.asarray(d1))) and np.all(np.isfinite(np.asarray(d2)))
 
 
+@pytest.mark.slow
 def test_lora_train_step_forced_pallas_matches_xla():
     """A full LoRA train step with impl='pallas' (flash attention everywhere,
     incl. the non-causal ViT) produces gradients matching impl='xla'."""

@@ -13,6 +13,8 @@ from llama32mm_tpu.models.vision import init_vision_params, vision_encoder_forwa
 from llama32mm_tpu.models.vlm import vlm_forward
 from llama32mm_tpu.utils.kvcache import update_stacked
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_vision_cfg(dropout):
     return VisionEncoderConfig(

@@ -30,6 +30,9 @@ from llama32mm_tpu.parallel import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def tiny():
     tc = LLAMA32Config(

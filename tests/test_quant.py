@@ -17,6 +17,9 @@ from llama32mm_tpu.ops.quant import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_quantize_roundtrip_error_bounded():
     w = jax.random.normal(jax.random.PRNGKey(0), (64, 96)) * 0.05
     qw = quantize_weight(w)

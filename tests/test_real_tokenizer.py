@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from llama32mm_tpu.configs import LLAMA32Config, MLLAMAConfig, VisionEncoderConfig
 from llama32mm_tpu.models.vlm import init_vlm_params
 
+pytestmark = pytest.mark.slow
+
 ASSET = os.path.join(os.path.dirname(__file__), "assets", "tiny_tokenizer")
 
 

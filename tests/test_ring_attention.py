@@ -22,6 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from llama32mm_tpu.ops.pallas.attention import flash_gqa_attention
 
+pytestmark = pytest.mark.slow
+
 
 def _mesh():
     devs = jax.devices()

@@ -163,6 +163,7 @@ def tiny_engine_setup():
     return cfg, params, ids, px
 
 
+@pytest.mark.slow
 def test_engine_penalized_greedy_matches_manual(tiny_engine_setup):
     """Greedy + repetition penalty through the compiled while_loop engine ==
     a manual stepwise loop penalizing with the growing presence set."""
@@ -221,6 +222,7 @@ def test_spec_lookup_penalized_greedy_exact(tiny_engine_setup):
     np.testing.assert_array_equal(np.asarray(base.tokens), np.asarray(spec.tokens))
 
 
+@pytest.mark.slow
 def test_spec_draft_penalized_greedy_exact(tiny_engine_setup):
     """Penalty composes exactly with draft-model speculation too."""
     from llama32mm_tpu.configs import LLAMA32Config

@@ -17,6 +17,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from llama32mm_tpu.parallel import create_mesh, seq_data_sharding
 
+pytestmark = pytest.mark.slow
+
 
 def _flash_inputs(tq=64, tk=64, b=2, nq=4, nkv=2, hd=8):
     q = jax.random.normal(jax.random.PRNGKey(0), (b, nq, tq, hd), jnp.float32)

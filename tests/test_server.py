@@ -11,6 +11,8 @@ from llama32mm_tpu import init_vlm_params, tiny_mllama_config
 from llama32mm_tpu.inference.engine import InferenceEngine
 from llama32mm_tpu.inference.server import ContinuousBatchingServer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

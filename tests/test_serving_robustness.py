@@ -18,6 +18,8 @@ from llama32mm_tpu import init_vlm_params, tiny_mllama_config
 from llama32mm_tpu.inference.http_server import ServingFrontend, serve_forever
 from llama32mm_tpu.inference.server import ContinuousBatchingServer, QueueFullError
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

@@ -16,7 +16,7 @@ from llama32mm_tpu.parallel import (
 )
 from llama32mm_tpu.train.lora import init_lora_params, make_lora_train_step
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")]
 
 
 @pytest.fixture(scope="module")

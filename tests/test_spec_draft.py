@@ -16,6 +16,8 @@ from llama32mm_tpu.configs import LLAMA32Config
 from llama32mm_tpu.inference.engine import InferenceEngine
 from llama32mm_tpu.models.language import init_causal_lm_params
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

@@ -19,6 +19,8 @@ from llama32mm_tpu.train import (
 )
 from llama32mm_tpu.train.lora import init_lora_params
 
+pytestmark = pytest.mark.slow
+
 EOS = 2
 
 
