@@ -211,6 +211,35 @@ def main() -> None:
     )
     args, _ = ap.parse_known_args()
 
+    # --- same-run decode speed-of-light probes (VERDICT r3 #2: vs_achievable
+    # must be measured in THIS run, not pinned from a prior session). Each
+    # probe is a subprocess so its weight set never shares HBM with the bench
+    # params — and they run FIRST, before this process claims the chip.
+    sol_bf16 = sol_11b = None
+    if not os.environ.get("BENCH_SKIP_SOL") and "cpu" not in os.environ.get(
+        "JAX_PLATFORMS", ""
+    ):
+        import subprocess
+        import sys
+
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def _sol_probe(script: str):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(here, "scripts", script), "--json"],
+                    capture_output=True, text=True, timeout=1200,
+                )
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+                return rec if rec.get("backend") == "tpu" else None
+            except Exception:
+                return None
+
+        _progress("same-run decode-SoL probes (2 subprocesses, ~2 min each)")
+        sol_bf16 = _sol_probe("bench_decode_sol.py")
+        sol_11b = _sol_probe("bench_decode_sol_11b_int8.py")
+        _progress(f"SoL probes: bf16={sol_bf16} int8_11b={sol_11b}")
+
     backend = jax.default_backend()
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "unknown").lower()
@@ -288,6 +317,13 @@ def main() -> None:
     ext_ids = jnp.concatenate([ids, jnp.asarray(bf16_tokens)], axis=1)
     logits_bf16 = teacher_forced_logits(params, cfg, ext_ids, px, QUALITY_SPAN)
 
+    # --- training throughput (VERDICT r3 #3): on-chip 3B LoRA train step on
+    # the bf16 params before they are donated to quantization ---
+    train_metrics = {}
+    if backend == "tpu" and not os.environ.get("BENCH_SKIP_TRAIN"):
+        _progress("LoRA train-step throughput (compile + 5 steps)")
+        train_metrics = bench_lora_train(cfg, params)
+
     # --- full int8 serving mode: int8 weights + int8 KV cache ---
     _progress("quantizing to int8 + measuring int8 quality/speed")
     from llama32mm_tpu.ops.quant import quantize_llama_params
@@ -335,7 +371,7 @@ def main() -> None:
             pass
         _progress("11B int8 section: on-device param init")
         cfg11 = llama32_11b_vision_config(max_cache_length=CACHE_LEN)
-        m11b = bench_11b_int8(cfg11, hbm_gbps)
+        m11b = bench_11b_int8(cfg11, hbm_gbps, sol=sol_11b)
 
     print(
         json.dumps(
@@ -348,20 +384,33 @@ def main() -> None:
                 "decode_tps_spread": round(decode_spread, 2),
                 "reps": REPS,
                 "effective_hbm_gbps": round(effective_gbps, 1),
-                # one-off ceilings measured on THIS dev chip (v5e only):
-                # stream peak = 4.3 GB single-stream reduce (bench_hbm_peak.py);
                 # decode SoL = the exact decode gemv+KV access pattern stripped
-                # of all model overhead (bench_decode_sol.py) — the engine
-                # matching/EXCEEDING it means the remaining gap to the nominal
-                # 819 GB/s roofline is hardware stream efficiency, not software.
+                # of all model overhead (bench_decode_sol.py), measured in THIS
+                # run by the subprocess probe above — the engine matching /
+                # exceeding it means the remaining gap to the nominal 819 GB/s
+                # roofline is hardware stream efficiency, not software. The
+                # pinned fallback (r3 session: 106.2 steps/s, 609.8 GB/s stream
+                # peak via bench_hbm_peak.py) only applies if the probe failed.
                 **(
                     {
-                        "measured_stream_peak_gbps": 609.8,
-                        "decode_sol_tokens_per_sec": 106.2,
-                        "vs_decode_sol": round(decode_tps / 106.2, 4),
+                        "decode_sol_tokens_per_sec": sol_bf16["sol_steps_per_sec"],
+                        "decode_sol_effective_gbps": sol_bf16["effective_gbps"],
+                        "vs_decode_sol": round(
+                            decode_tps / sol_bf16["sol_steps_per_sec"], 4
+                        ),
+                        "decode_sol_source": "same-run probe",
                     }
-                    if "v5" in kind
-                    else {}
+                    if sol_bf16
+                    else (
+                        {
+                            "measured_stream_peak_gbps": 609.8,
+                            "decode_sol_tokens_per_sec": 106.2,
+                            "vs_decode_sol": round(decode_tps / 106.2, 4),
+                            "decode_sol_source": "r3 pinned (probe failed)",
+                        }
+                        if "v5" in kind
+                        else {}
+                    )
                 ),
                 "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
                 "int8_decode_tokens_per_sec": round(q_decode_tps, 2),
@@ -374,6 +423,7 @@ def main() -> None:
                 "int8kv_top1_agreement": round(int8kv_top1, 4),
                 "int8kv_mean_abs_dlogit": round(int8kv_dlogit, 4),
                 **({"batch8_decode_tokens_per_sec": round(batch_tps, 1)} if batch_tps else {}),
+                **train_metrics,
                 **m11b,
                 "config": "llama3.2-3B-text+ViT-H/14@560, bf16, 1 chip",
                 "backend": backend,
@@ -497,7 +547,7 @@ def random_int8_vlm_params(cfg: MLLAMAConfig):
     return params
 
 
-def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
+def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float, sol: dict | None = None) -> dict:
     tc = cfg11.text_config
     params = random_int8_vlm_params(cfg11)
     ids, raw, s = make_inputs(cfg11, seed=5)
@@ -521,8 +571,11 @@ def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
     run(1)
     ttft, _ = timed_median(lambda: run(1), 5)
     _progress("11B: measuring decode rate")
-    tps, spread = engine_decode_rate(engine, ids, px, reps=5, max_new=64, short=16)
-    mean_ctx = s + 32
+    # 112-token window (was 64-16=48 in r3): the narrow window put the whole
+    # measurement inside one tunnel-jitter quantum and produced the ±20%
+    # spread VERDICT r3 flagged (Weak #2); same protocol as the 3B headline.
+    tps, spread = engine_decode_rate(engine, ids, px, reps=7, max_new=128, short=16)
+    mean_ctx = s + (128 + 16) // 2
     roofline = decode_roofline_tokens_per_sec(
         cfg11, mean_ctx, hbm_gbps, weight_bytes=1, kv_bytes=1, head_bytes=1
     )
@@ -531,15 +584,147 @@ def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
         "m11b_int8_decode_spread": round(spread, 2),
         "m11b_int8_roofline_tokens_per_sec": round(roofline, 2),
         "m11b_int8_vs_roofline": round(tps / roofline, 4),
-        # one-off ceiling measured on THIS dev chip: the 11B int8 decode's
-        # exact access pattern (int8 gemvs convert-into-dot + fp32 scales +
-        # int8 KV dots) stripped of all model overhead measures 72.06 steps/s
-        # = 678 GB/s effective (scripts/bench_decode_sol_11b_int8.py) — the
-        # gap from vs_roofline to 1.0 is int8-gemv stream efficiency.
-        "m11b_int8_sol_steps_per_sec": 72.06,
-        "m11b_int8_vs_sol": round(tps / 72.06, 4),
+        # achievable ceiling: the 11B int8 decode's exact access pattern (int8
+        # gemvs convert-into-dot + fp32 scales + int8 KV dots) stripped of all
+        # model overhead (scripts/bench_decode_sol_11b_int8.py) — measured in
+        # THIS run by the subprocess probe when available; the gap from
+        # vs_roofline to 1.0 is int8-gemv stream efficiency.
+        **(
+            {
+                "m11b_int8_sol_steps_per_sec": sol["sol_steps_per_sec"],
+                "m11b_int8_vs_sol": round(tps / sol["sol_steps_per_sec"], 4),
+                "m11b_sol_source": "same-run probe",
+            }
+            if sol
+            else {
+                "m11b_int8_sol_steps_per_sec": 72.06,
+                "m11b_int8_vs_sol": round(tps / 72.06, 4),
+                "m11b_sol_source": "r3 pinned (probe failed)",
+            }
+        ),
         "m11b_int8_ttft_p50_ms": round(ttft * 1e3, 1),
         "m11b_config": "llama3.2-11B-Vision shapes, int8 weights + int8 KV, 1 chip",
+    }
+
+
+TRAIN_BATCH = 4
+TRAIN_SEQ = 2048
+
+
+def lora_train_flops_per_token(tc, seq_len: int, rank: int = 16) -> tuple[float, float]:
+    """(executed, model) matmul FLOPs per token for one LoRA train step.
+
+    Accounting (documented so the MFU figure is falsifiable):
+    - ``lin``: forward matmul FLOPs/token over the decoder linears + lm_head
+      (2·m·n per token per [m,n] matmul).
+    - ``attn``: forward attention FLOPs/token, QKᵀ + AV, causal-halved:
+      per sequence 2·T²·n_heads·head_dim → per token 2·T·n_heads·head_dim·L.
+    - executed = lin·3 + attn·4 + lora·4: base weights are frozen so the
+      backward runs dgrad only (1× fwd for linears, 2× for attention's four
+      grad matmuls), and ``remat=True`` re-runs the forward during the
+      backward (+1×). Adapter matmuls (rank·(n_in+n_out)) pay fwd + dgrad +
+      wgrad + remat ≈ 4×. Flash-attention's internal score recompute in the
+      VJP is NOT counted, so MFU is slightly conservative.
+    - model = lin·3 + attn·4 with no remat term — the PaLM-style "useful"
+      FLOPs; reported alongside for comparison.
+    """
+    h, hd, nq, nkv, inter, L, V = (
+        tc.hidden_size, tc.head_dim, tc.n_heads, tc.n_kv_groups, tc.hidden_dim,
+        tc.n_layers, tc.vocab_size,
+    )
+    lin = L * 2 * (h * nq * hd + 2 * h * nkv * hd + nq * hd * h + 3 * h * inter) + 2 * h * V
+    attn = L * 2 * nq * hd * seq_len
+    # adapted matmuls: q/k/v/o + gate/up/down per layer, + lm_head
+    lora_dims = [
+        (h, nq * hd), (h, nkv * hd), (h, nkv * hd), (nq * hd, h),
+        (h, inter), (h, inter), (inter, h),
+    ]
+    lora = L * sum(2 * rank * (a + b) for a, b in lora_dims) + 2 * rank * (h + V)
+    executed = lin * 3 + attn * 4 + lora * 4
+    model = lin * 2 + attn * 3 + lora * 3
+    return float(executed), float(model)
+
+
+def measure_matmul_peak_tflops(
+    dtype=jnp.bfloat16, n: int = 4096, chain: int = 64, reps: int = 5
+) -> float:
+    """Same-run MXU ceiling: ``chain`` dependency-chained n³ matmuls inside
+    one jit, synced by a host fetch of one element (the denominator of
+    train_mfu; r3 pinned value was 138 TFLOP/s via
+    scripts/bench_matmul_peak.py). Chained-in-one-program + np.asarray sync
+    matters on the axon tunnel, where ``block_until_ready`` on a single
+    dispatched op returns before the op executes (measured: 0.07 ms for one
+    8192³ matmul ⇒ 17 PFLOP/s, i.e. a lie). This probe measures 150.1–152.6
+    TFLOP/s on the dev v5e chip at n∈{4096, 8192}, stable to <1%."""
+    from jax import lax
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), dtype)
+    # fold the magnitude normalisation into b so the loop body is one pure
+    # matmul (entries of y stay ~N(0,1): each product scales by √n)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), dtype) / jnp.asarray(
+        n**0.5, dtype
+    )
+
+    @jax.jit
+    def f(a, b):
+        y, _ = lax.scan(lambda y, _: (y @ b, None), a, None, length=chain)
+        return y[0, 0]
+
+    np.asarray(f(a, b))  # compile + warm
+    med, _ = timed_median(lambda: np.asarray(f(a, b)), reps)
+    return 2.0 * n**3 * chain / med / 1e12
+
+
+def bench_lora_train(cfg, params) -> dict:
+    """On-chip LoRA train-step throughput at the 3B shapes (VERDICT r3 #3):
+    text-only packed batch [4, 2048], rank-16 adapters over every decoder
+    linear + lm_head (the reference README's apply_lora recipe), remat +
+    chunked-CE — the same configuration scripts/bench_qlora_11b.py uses for
+    the 11B long-context runs. Returns train_tokens_per_sec + train_mfu
+    against the same-run measured matmul ceiling."""
+    from llama32mm_tpu.train.lora import init_lora_params, make_lora_train_step
+
+    tc = cfg.text_config
+    peak_tflops = measure_matmul_peak_tflops(tc.jnp_dtype)
+
+    lora = init_lora_params(jax.random.PRNGKey(7), cfg, rank=16)
+    init_state, train_step = make_lora_train_step(
+        cfg, remat=True, loss_chunk=512
+    )
+    state = init_state(lora)
+    step = jax.jit(train_step)
+
+    k = jax.random.PRNGKey(11)
+    batch = {
+        "input_ids": jax.random.randint(
+            k, (TRAIN_BATCH, TRAIN_SEQ), 0, tc.vocab_size - 10
+        ),
+        "labels": jax.random.randint(
+            jax.random.fold_in(k, 1), (TRAIN_BATCH, TRAIN_SEQ), 0, tc.vocab_size - 10
+        ),
+    }
+    rng = jax.random.PRNGKey(13)
+
+    state, loss = step(params, state, batch, rng)
+    np.asarray(loss)  # host fetch: the only sync the axon tunnel honours
+
+    def one_step():
+        nonlocal state
+        state, loss = step(params, state, batch, rng)
+        np.asarray(loss)
+
+    med, _ = timed_median(one_step, 5)
+    tokens = TRAIN_BATCH * TRAIN_SEQ
+    tps = tokens / med
+    executed, model = lora_train_flops_per_token(tc, TRAIN_SEQ)
+    del state, lora
+    return {
+        "train_tokens_per_sec": round(tps, 1),
+        "train_mfu": round(executed * tps / (peak_tflops * 1e12), 4),
+        "train_mfu_model_flops": round(model * tps / (peak_tflops * 1e12), 4),
+        "train_step_ms": round(med * 1e3, 1),
+        "matmul_peak_tflops": round(peak_tflops, 1),
+        "train_config": "3B LoRA r16 all-linears+head, [4,2048] text, remat+chunked-CE, bf16",
     }
 
 

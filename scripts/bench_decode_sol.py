@@ -89,12 +89,22 @@ def main():
         ts.append(time.perf_counter() - t0)
     t = float(np.percentile(ts, 50))
     tok_s = N_STEPS / t
-    mean_ctx = tc.num_image_tokens + PROMPT_TEXT_LEN + MAX_NEW // 2
     bytes_per_step = decode_step_bytes(cfg, CACHE_LEN)  # probe touches full cache
-    print(
-        f"decode-SoL: {tok_s:.2f} steps/s  ({bytes_per_step * tok_s / 1e9:.1f} GB/s "
-        f"effective over {bytes_per_step/1e9:.2f} GB/step)"
-    )
+    if "--json" in sys.argv:
+        import json
+
+        dev = jax.devices()[0]
+        print(json.dumps({
+            "sol_steps_per_sec": round(tok_s, 3),
+            "effective_gbps": round(bytes_per_step * tok_s / 1e9, 1),
+            "backend": jax.default_backend(),
+            "device_kind": getattr(dev, "device_kind", "unknown").lower(),
+        }))
+    else:
+        print(
+            f"decode-SoL: {tok_s:.2f} steps/s  ({bytes_per_step * tok_s / 1e9:.1f} GB/s "
+            f"effective over {bytes_per_step/1e9:.2f} GB/step)"
+        )
 
 
 if __name__ == "__main__":

@@ -124,11 +124,22 @@ def main():
     tok_s = N_STEPS / t
     bytes_per_step = decode_step_bytes(cfg, CACHE_LEN, weight_bytes=1, kv_bytes=1,
                                        head_bytes=1)
-    print(
-        f"11B-int8 decode-SoL: {tok_s:.2f} steps/s  "
-        f"({bytes_per_step * tok_s / 1e9:.1f} GB/s effective over "
-        f"{bytes_per_step / 1e9:.2f} GB/step)"
-    )
+    if "--json" in sys.argv:
+        import json
+
+        dev = jax.devices()[0]
+        print(json.dumps({
+            "sol_steps_per_sec": round(tok_s, 3),
+            "effective_gbps": round(bytes_per_step * tok_s / 1e9, 1),
+            "backend": jax.default_backend(),
+            "device_kind": getattr(dev, "device_kind", "unknown").lower(),
+        }))
+    else:
+        print(
+            f"11B-int8 decode-SoL: {tok_s:.2f} steps/s  "
+            f"({bytes_per_step * tok_s / 1e9:.1f} GB/s effective over "
+            f"{bytes_per_step / 1e9:.2f} GB/step)"
+        )
 
 
 if __name__ == "__main__":
