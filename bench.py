@@ -224,11 +224,17 @@ def main() -> None:
 
         here = os.path.dirname(os.path.abspath(__file__))
 
+        probe_env = dict(
+            os.environ,
+            JAX_COMPILATION_CACHE_DIR=os.path.join(here, ".jax_cache"),
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1.0",
+        )
+
         def _sol_probe(script: str):
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.join(here, "scripts", script), "--json"],
-                    capture_output=True, text=True, timeout=1200,
+                    capture_output=True, text=True, timeout=1200, env=probe_env,
                 )
                 rec = json.loads(out.stdout.strip().splitlines()[-1])
                 return rec if rec.get("backend") == "tpu" else None
@@ -645,34 +651,39 @@ def lora_train_flops_per_token(tc, seq_len: int, rank: int = 16) -> tuple[float,
     return float(executed), float(model)
 
 
-def measure_matmul_peak_tflops(
-    dtype=jnp.bfloat16, n: int = 4096, chain: int = 64, reps: int = 5
-) -> float:
-    """Same-run MXU ceiling: ``chain`` dependency-chained n³ matmuls inside
-    one jit, synced by a host fetch of one element (the denominator of
-    train_mfu; r3 pinned value was 138 TFLOP/s via
-    scripts/bench_matmul_peak.py). Chained-in-one-program + np.asarray sync
-    matters on the axon tunnel, where ``block_until_ready`` on a single
-    dispatched op returns before the op executes (measured: 0.07 ms for one
-    8192³ matmul ⇒ 17 PFLOP/s, i.e. a lie). This probe measures 150.1–152.6
-    TFLOP/s on the dev v5e chip at n∈{4096, 8192}, stable to <1%."""
+def measure_matmul_peak_tflops(dtype=jnp.bfloat16, reps: int = 3) -> float:
+    """Same-run MXU ceiling: dependency-chained n³ matmuls inside one jit,
+    synced by a host fetch of one element (the denominator of train_mfu; r3
+    pinned value was 138 TFLOP/s via scripts/bench_matmul_peak.py).
+
+    Chained-in-one-program + np.asarray sync matters on the axon tunnel,
+    where ``block_until_ready`` on a single dispatched op returns before the
+    op executes (measured: 0.07 ms for one 8192³ matmul ⇒ 17 PFLOP/s, i.e. a
+    lie). The remote compile service's autotune is also nondeterministic
+    across compiles of the SAME shape (observed 118–153 TFLOP/s for 4096³
+    depending on the compile, stable <1% within one executable), so the
+    ceiling is the MAX over two shapes — a low denominator would flatter
+    train_mfu. Compiles are one-time via the persistent .jax_cache."""
     from jax import lax
 
-    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), dtype)
-    # fold the magnitude normalisation into b so the loop body is one pure
-    # matmul (entries of y stay ~N(0,1): each product scales by √n)
-    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), dtype) / jnp.asarray(
-        n**0.5, dtype
-    )
+    best = 0.0
+    for n, chain in ((4096, 64), (8192, 32)):
+        a = jax.random.normal(jax.random.PRNGKey(0), (n, n), dtype)
+        # fold the magnitude normalisation into b so the loop body is one
+        # pure matmul (entries of y stay ~N(0,1): each product scales by √n)
+        b = jax.random.normal(jax.random.PRNGKey(1), (n, n), dtype) / jnp.asarray(
+            n**0.5, dtype
+        )
 
-    @jax.jit
-    def f(a, b):
-        y, _ = lax.scan(lambda y, _: (y @ b, None), a, None, length=chain)
-        return y[0, 0]
+        @jax.jit
+        def f(a, b, chain=chain):
+            y, _ = lax.scan(lambda y, _: (y @ b, None), a, None, length=chain)
+            return y[0, 0]
 
-    np.asarray(f(a, b))  # compile + warm
-    med, _ = timed_median(lambda: np.asarray(f(a, b)), reps)
-    return 2.0 * n**3 * chain / med / 1e12
+        np.asarray(f(a, b))  # compile + warm
+        med, _ = timed_median(lambda: np.asarray(f(a, b)), reps)
+        best = max(best, 2.0 * n**3 * chain / med / 1e12)
+    return best
 
 
 def bench_lora_train(cfg, params) -> dict:

@@ -430,6 +430,12 @@ class ContinuousBatchingServer:
                     slot_samp[0], slot_samp[1], slot_samp[2],
                     slot_samp[3], pres, slot_samp[4],
                 ).astype(jnp.int32)
+                # seq history is maintained unconditionally (one [B] scatter
+                # into [B, S] int32 per step, ~64 KB written at slots=8,
+                # S=2048 — ≪0.01% of the ~11 GB of weights each step streams)
+                # so a repetition-penalty request admitted mid-flight always
+                # sees complete history; only the O(B·V) presence scatter
+                # above is worth gating.
                 upd_seq = st.seq.at[
                     jnp.arange(B), jnp.clip(st.rope_pos + 1, 0, S - 1)
                 ].set(nxt)

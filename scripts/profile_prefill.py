@@ -2,19 +2,28 @@
 programs (a lax.scan over N whole-tower iterations takes >20 min in the
 remote compile service — engine-style programs compile in minutes):
 
-- A: generate(max_new=1) with image           = preprocess+ViT+proj+prefill+lm1
-- B: generate(max_new=1) without image        = prefill+lm1
-- A - B ≈ vision tower + projector.
+- P: jitted on-device preprocess alone      = resize+rescale+normalize+CHW
+- A: generate(max_new=1) with image         = preprocess+ViT+proj+prefill+lm1
+- B: generate(max_new=1) without image      = prefill+lm1
+- A - B ≈ vision tower + projector (+ image-feature splice, ~0).
 - C: full generate(max_new=64): decode steady state.
+
+Ceilings for each phase come from scripts/bench_prefill_sol.py (the same
+shapes' bare-GEMM floor on this chip).
 
 Timing: p50 of repeats, device→host fetch as the sync point (block_until_ready
 can return early through the axon tunnel).
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/profile_prefill.py
+           [--m11b] [--json]
+--m11b profiles the flagship 11B-Vision shapes (int8 weights + int8 KV, the
+BENCH m11b_* configuration) instead of the 3B bf16 bench config.
 """
 
 from __future__ import annotations
 
+import json
+import sys
 import time
 
 import jax
@@ -40,20 +49,34 @@ def p50(f):
 
 
 def main():
-    cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
+    m11b = "--m11b" in sys.argv
+    if m11b:
+        from bench import random_int8_vlm_params
+        from llama32mm_tpu.configs import llama32_11b_vision_config
+
+        cfg = llama32_11b_vision_config(max_cache_length=CACHE_LEN)
+        params = random_int8_vlm_params(cfg)
+        engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN,
+                                 kv_dtype="int8")
+        label = "11B-vision int8+int8KV"
+    else:
+        cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
+        params = jax.device_put(init_vlm_params(jax.random.PRNGKey(0), cfg))
+        engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN)
+        label = "3B bf16"
     tc = cfg.text_config
-    params = jax.device_put(init_vlm_params(jax.random.PRNGKey(0), cfg))
-    engine = InferenceEngine(params, cfg, max_cache_length=CACHE_LEN)
 
     n_img = tc.num_image_tokens
     s = n_img + PROMPT_TEXT_LEN
+    size = cfg.vision_config.image_size
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, s), 0, tc.vocab_size - 10)
     ids_img = ids.at[:, :n_img].set(cfg.image_token_index)
     raw = jax.random.randint(
-        jax.random.PRNGKey(2), (1, 560, 560, 3), 0, 255, jnp.int32
+        jax.random.PRNGKey(2), (1, size, size, 3), 0, 255, jnp.int32
     ).astype(jnp.uint8)
 
-    pre = jax.jit(lambda r: preprocess_image_device(r, 560, tc.jnp_dtype))
+    pre = jax.jit(lambda r: preprocess_image_device(r, size, tc.jnp_dtype))
+    t_pre = p50(lambda: np.asarray(pre(raw)))
 
     def gen(use_img, max_new):
         px = pre(raw) if use_img else None
@@ -64,28 +87,30 @@ def main():
         np.asarray(r.tokens)
 
     t_img1 = p50(lambda: gen(True, 1))
-    print(f"A: image prefill TTFT      {t_img1 * 1e3:8.1f} ms", flush=True)
     t_txt1 = p50(lambda: gen(False, 1))
-    print(f"B: text-only prefill       {t_txt1 * 1e3:8.1f} ms", flush=True)
-    print(f"A-B: vision tower+proj     {(t_img1 - t_txt1) * 1e3:8.1f} ms", flush=True)
-
     t_full = p50(lambda: gen(True, 64))
     per_tok = (t_full - t_img1) / 63
-    print(f"C: decode                  {per_tok * 1e3:8.2f} ms/tok ({1 / per_tok:.1f} tok/s)", flush=True)
 
-    # compute-bound estimates (v5e ≈ 197 bf16 TFLOP/s dense)
-    vit_flops = 32 * (4 * 1600 * 1280**2 + 4 * 1600**2 * 1280 + 4 * 1600 * 1280 * 5120) * 2 / 2
-    text_params = tc.n_layers * (
-        tc.hidden_size * (tc.n_heads + 2 * tc.n_kv_groups) * tc.head_dim
-        + tc.n_heads * tc.head_dim * tc.hidden_size
-        + 3 * tc.hidden_size * tc.hidden_dim
-    )
-    pre_flops = 2 * s * text_params
-    print(
-        f"\ncompute-bound @197T: vit ≈ {vit_flops / 197e12 * 1e3:.1f} ms, "
-        f"decoder prefill ≈ {pre_flops / 197e12 * 1e3:.1f} ms",
-        flush=True,
-    )
+    rec = {
+        "config": label,
+        "prompt_len": s,
+        "preprocess_ms": round(t_pre * 1e3, 1),
+        "ttft_ms": round(t_img1 * 1e3, 1),
+        "text_prefill_plus_head_ms": round(t_txt1 * 1e3, 1),
+        "vision_tower_plus_proj_ms": round((t_img1 - t_txt1) * 1e3, 1),
+        "decode_ms_per_tok": round(per_tok * 1e3, 2),
+        "backend": jax.default_backend(),
+    }
+    if "--json" in sys.argv:
+        print(json.dumps(rec))
+        return
+
+    print(f"[{label}] prompt_len={s}")
+    print(f"P: on-device preprocess    {t_pre * 1e3:8.1f} ms", flush=True)
+    print(f"A: image prefill TTFT      {t_img1 * 1e3:8.1f} ms", flush=True)
+    print(f"B: text-only prefill       {t_txt1 * 1e3:8.1f} ms", flush=True)
+    print(f"A-B: vision tower+proj     {(t_img1 - t_txt1) * 1e3:8.1f} ms", flush=True)
+    print(f"C: decode                  {per_tok * 1e3:8.2f} ms/tok ({1 / per_tok:.1f} tok/s)", flush=True)
 
 
 if __name__ == "__main__":
