@@ -1,16 +1,19 @@
-"""Prefill speed-of-light probe (VERDICT r3 #6): the exact matmul sequence of
-the image-prefill TTFT path — ViT-H tower GEMMs at [1600, 1280] + decoder
-prefill GEMMs at [s=1632, 3072] + causal attention einsums + the 1-position
-lm_head — stripped of everything else (no norms/rope/softmax/masking/cache
-writes/sampling). Prefill is compute-bound, so this measures the achievable
-MXU floor for each TTFT phase on THIS chip (the nominal 197 bf16 TFLOP/s
-never materializes at these batch-1 shapes; this probe gives the shape-true
-ceiling the engine should be compared against).
+"""Stripped-GEMM prefill probe (VERDICT r3 #6) — and a measured NEGATIVE
+result: the bare matmul sequence of the image-prefill TTFT path (ViT-H tower
+GEMMs at [1600, 1280] + decoder prefill GEMMs at [s=1632, h] + attention
+einsums + the 1-position lm_head, no norms/rope/masking/cache/sampling) runs
+SLOWER than the full engine phases it strips (v5e, 3B: ViT 134 ms vs the
+engine's 20.7 ms; decoder 90.3 ms vs ≈72 ms). Score-materializing attention
+round-trips [N,N]/[s,s] blocks through HBM that the engine's flash kernel
+never writes, and XLA fuses the real graph better than this skeleton — so
+"stripped" is NOT a ceiling here. The ceiling argument for TTFT is the
+FLOP/measured-peak accounting in docs/TTFT.md; this probe is kept because a
+naive reviewer would reach for it and should see why it's wrong.
 
-Companion to scripts/bench_decode_sol.py (bandwidth-bound decode) — together
-they give the ceiling argument for both north-star latency metrics.
+Companion to scripts/bench_decode_sol.py (bandwidth-bound decode, where the
+stripped probe IS the right ceiling because decode is stream-bound).
 
-Run: python -u scripts/bench_prefill_sol.py [--json]
+Run: python -u scripts/bench_prefill_sol.py [--json] [--m11b]
 """
 
 from __future__ import annotations
@@ -40,13 +43,43 @@ def _p50(f):
 
 
 def main():
-    cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
+    m11b = "--m11b" in sys.argv
+    if m11b:
+        from llama32mm_tpu.configs import llama32_11b_vision_config
+
+        cfg = llama32_11b_vision_config()
+    else:
+        cfg = bench_config("bfloat16" if jax.default_backend() == "tpu" else "float32")
     tc, vc = cfg.text_config, cfg.vision_config
     dt = tc.jnp_dtype
     k = jax.random.PRNGKey(0)
 
     def w(key, shape):
         return jax.random.normal(jax.random.fold_in(k, key), shape, dt) * 0.02
+
+    def w8(key, shape):
+        # int8 weights + per-channel fp32 scales — the engine's serving
+        # format; the probe GEMM converts-into-dot exactly like XLA does.
+        # int8 is sampled per-layer (randint's int32 sampling intermediate
+        # at the full [L,h,out] 11B FFN stack is 9.4 GB — OOM on one chip).
+        kk2 = jax.random.fold_in(k, key)
+        n_chunks = shape[0] if len(shape) == 3 else 64
+        chunk = (shape[0] // n_chunks,) + shape[1:] if len(shape) == 2 else shape[1:]
+
+        @jax.jit
+        def sample(keys):
+            q = jax.lax.map(
+                lambda kp: jax.random.randint(kp, chunk, -127, 128, dtype=jnp.int8),
+                keys,
+            )
+            return q.reshape(shape)
+
+        q = sample(jax.random.split(kk2, n_chunks))
+        # per-channel scales; stacked weights [L, in, out] carry a per-layer
+        # leading axis so the scan can unstack them alongside the weights
+        sshape = (shape[0], shape[-1]) if len(shape) == 3 else shape[-1:]
+        scale = jnp.full(sshape, 0.02 / 30, jnp.float32)
+        return q, scale
 
     # ---- ViT tower: N=1600 patches through 32 layers of qkv/o + fc1/fc2 +
     # full (non-causal) attention einsums ----
@@ -65,11 +98,14 @@ def main():
         def layer(y, xs):
             wqkv, wo, w1, w2 = xs
             qkv = y @ wqkv  # [N, 3d]
-            q = qkv[:, :d].reshape(N, vh, vhd)
-            kk = qkv[:, d:2 * d].reshape(N, vh, vhd)
-            vv = qkv[:, 2 * d:].reshape(N, vh, vhd)
-            att = jnp.einsum("nhd,mhd->hnm", q, kk) * (vhd ** -0.5)
-            ctx = jnp.einsum("hnm,mhd->nhd", att, vv).reshape(N, d)
+            # head-major [h, N, d] layout so the attention einsums lower to
+            # plain batched matmuls (the token-major "nhd,mhd->hnm" order
+            # compiled to a 7×-slower transposing schedule on v5e)
+            q = qkv[:, :d].reshape(N, vh, vhd).transpose(1, 0, 2)
+            kk = qkv[:, d:2 * d].reshape(N, vh, vhd).transpose(1, 0, 2)
+            vv = qkv[:, 2 * d:].reshape(N, vh, vhd).transpose(1, 0, 2)
+            att = jnp.einsum("hnd,hmd->hnm", q, kk) * (vhd ** -0.5)
+            ctx = jnp.einsum("hnm,hmd->hnd", att, vv).transpose(1, 0, 2).reshape(N, d)
             y = y + ctx @ wo
             y = y + jnp.maximum(y @ w1, 0) @ w2
             return jnp.clip(y, -3.0, 3.0), None
@@ -86,37 +122,48 @@ def main():
         tc.hidden_size, tc.head_dim, tc.n_heads, tc.n_kv_groups, tc.hidden_dim,
         tc.n_layers, tc.vocab_size,
     )
+    mk = w8 if m11b else w
     dec = {
-        "wq": w(10, (L, h, nq * hd)),
-        "wk": w(11, (L, h, nkv * hd)),
-        "wv": w(12, (L, h, nkv * hd)),
-        "wo": w(13, (L, nq * hd, h)),
-        "wg": w(14, (L, h, inter)),
-        "wu": w(15, (L, h, inter)),
-        "wd": w(16, (L, inter, h)),
+        "wq": mk(10, (L, h, nq * hd)),
+        "wk": mk(11, (L, h, nkv * hd)),
+        "wv": mk(12, (L, h, nkv * hd)),
+        "wo": mk(13, (L, nq * hd, h)),
+        "wg": mk(14, (L, h, inter)),
+        "wu": mk(15, (L, h, inter)),
+        "wd": mk(16, (L, inter, h)),
     }
-    head = w(17, (h, V))
+    head = mk(17, (h, V))
+
+    def mat(x, wq):
+        if m11b:  # convert-into-dot int8 dequant, exactly the serving GEMM
+            q, scale = wq
+            return (x @ q.astype(dt)) * scale.astype(dt)
+        return x @ wq
 
     @jax.jit
     def dec_sol(dec, head, x):
         def layer(x, xs):
             wq, wk, wv, wo, wg, wu, wd = xs
-            q = (x @ wq).reshape(s, nq, hd)
-            kk = (x @ wk).reshape(s, nkv, hd)
-            vv = (x @ wv).reshape(s, nkv, hd)
             g = nq // nkv
-            qg = q.reshape(s, nkv, g, hd)
-            att = jnp.einsum("skgd,tkd->kgst", qg, kk) * (hd ** -0.5)
-            ctx = jnp.einsum("kgst,tkd->skgd", att, vv).reshape(s, nq * hd)
-            x = x + ctx @ wo
-            x = x + ((x @ wg) * (x @ wu)) @ wd * 1e-2
+            # head-major layouts (batched-matmul lowering, as above)
+            q = mat(x, wq).reshape(s, nkv, g, hd).transpose(1, 2, 0, 3)
+            kk = mat(x, wk).reshape(s, nkv, hd).transpose(1, 0, 2)
+            vv = mat(x, wv).reshape(s, nkv, hd).transpose(1, 0, 2)
+            att = jnp.einsum("kgsd,ktd->kgst", q, kk) * (hd ** -0.5)
+            ctx = (
+                jnp.einsum("kgst,ktd->kgsd", att, vv)
+                .transpose(2, 0, 1, 3)
+                .reshape(s, nq * hd)
+            )
+            x = x + mat(ctx, wo)
+            x = x + mat(jnp.clip(mat(x, wg) * mat(x, wu), -3.0, 3.0), wd) * 1e-2
             return jnp.clip(x, -3.0, 3.0), None
 
         x, _ = jax.lax.scan(
             layer, x,
             (dec["wq"], dec["wk"], dec["wv"], dec["wo"], dec["wg"], dec["wu"], dec["wd"]),
         )
-        return x[-1:] @ head  # lm_head at the sampled position only
+        return mat(x[-1:], head)  # lm_head at the sampled position only
 
     x0 = jax.random.normal(jax.random.fold_in(k, 91), (s, h), dt)
     t_dec = _p50(lambda: np.asarray(dec_sol(dec, head, x0)))
