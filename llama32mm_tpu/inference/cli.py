@@ -53,7 +53,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--spec-draft", type=int, default=0, metavar="K",
                         help="Draft-MODEL speculative decoding: a smaller LM "
                              "(--draft-weights) proposes K tokens per step, "
-                             "verified exactly in one target forward.")
+                             "verified exactly in one target forward. Wins only "
+                             "when draft/target acceptance exceeds the measured "
+                             "break-even (~0.65 for 1B-drafts-11B at K=4; up to "
+                             "1.98x measured at full acceptance — docs/serving.md).")
     parser.add_argument("--draft-weights", default=None,
                         help="Checkpoint dir of the draft model for --spec-draft "
                              "(this framework's save layout; must share the "
