@@ -195,17 +195,28 @@ class InferenceEngine:
         # decode-step/verify forwards only — prefill keeps XLA's MXU tiling.
         if gemv_routes == "auto":
             if jax.default_backend() == "tpu":
+                from llama32mm_tpu.models.language import int4_route_names
                 from llama32mm_tpu.ops.pallas.gemv import default_decode_routes
                 from llama32mm_tpu.ops.quant import is_quantized
 
                 anyq = any(
                     is_quantized(l)
                     for l in jax.tree.leaves(
-                        params, is_leaf=lambda x: isinstance(x, dict) and "q" in x
+                        params,
+                        is_leaf=lambda x: isinstance(x, dict)
+                        and ("q" in x or "q4" in x),
                     )
                     if isinstance(l, dict)
                 )
                 gemv_routes = default_decode_routes(quantized=anyq)
+                # int4 leaves are ALWAYS routed (stacked): the unrouted path
+                # pays an HBM→HBM dynamic-slice copy of the packed bytes
+                # before the opaque Pallas call — the exact penalty
+                # gemv_stacked_pallas documents (706 vs 220 GB/s) and the
+                # reason all-int4 11B decode measured 0.65× int8 in round 3.
+                int4_routes = int4_route_names(params)
+                if int4_routes:
+                    gemv_routes = {**(gemv_routes or {}), **int4_routes}
             else:
                 gemv_routes = None
         self.gemv_routes = gemv_routes

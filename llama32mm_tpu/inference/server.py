@@ -211,6 +211,7 @@ class ContinuousBatchingServer:
         # XLA's MXU tiling.
         if gemv_routes == "auto":
             if jax.default_backend() == "tpu":
+                from llama32mm_tpu.models.language import int4_route_names
                 from llama32mm_tpu.ops.pallas.gemv import default_decode_routes
                 from llama32mm_tpu.ops.quant import is_quantized
 
@@ -221,6 +222,11 @@ class ContinuousBatchingServer:
                     )
                 )
                 gemv_routes = default_decode_routes(quantized=anyq)
+                # int4 leaves always route stacked (see engine.py) — the
+                # unrouted path re-slices the packed bytes HBM→HBM per step.
+                int4_routes = int4_route_names(params)
+                if int4_routes:
+                    gemv_routes = {**(gemv_routes or {}), **int4_routes}
             else:
                 gemv_routes = None
         self.gemv_routes = gemv_routes

@@ -170,7 +170,7 @@ def _gemv_routable(leaf) -> bool:
     from llama32mm_tpu.ops.quant import is_quantized
 
     if is_quantized(leaf):
-        return "q" in leaf  # int8 per-channel only (no int4 gemv kernel)
+        return True  # int8 per-channel or int4 packed-nibble (both have kernels)
     return hasattr(leaf, "ndim") and leaf.ndim == 3  # stacked float [L, K, N]
 
 
@@ -193,7 +193,7 @@ def split_gemv_weights(blocks: dict, routes: dict):
     Pallas block size in bytes / ``("stacked"|"slice", bytes)``. Stacked-mode
     entries are REMOVED from the scanned pytree (the kernel indexes the full
     HBM array by layer via scalar prefetch); slice-mode entries stay in the
-    scan. Unroutable leaves (int4, fused, missing) are silently left alone."""
+    scan. Unroutable leaves (fused, missing) are silently left alone."""
     ctx = {}
     att = dict(blocks.get("att", {}))
     ff = dict(blocks.get("ff", {}))
@@ -233,10 +233,57 @@ def split_gemv_weights(blocks: dict, routes: dict):
     return out, ctx
 
 
+def int4_route_names(params: dict) -> dict:
+    """Stacked-route specs for every int4 packed-nibble decode weight in a
+    (VLM or causal-LM) param tree: ``{name: ("stacked", None)}`` for block
+    weights plus ``{"lm_head": bytes}`` when the head is int4.
+
+    int4 leaves are ALWAYS worth routing: the unrouted ``qlinear`` path runs
+    on the layer scan's dynamic-slice operand, so every decode step pays an
+    HBM→HBM copy of the packed bytes before the dequant-matmul even starts —
+    the exact penalty ``gemv_stacked_pallas`` documents (706 vs 220 GB/s) and
+    the reason all-int4 11B decode measured 0.65× int8 in round 3. The
+    stacked int4 kernel (``ops/pallas/gemv.py::int4_gemv_stacked_pallas``)
+    streams only the packed bytes + group scales per step."""
+    lm = params.get("language_model", params)
+    model = lm.get("model", lm)
+    blocks = model.get("blocks", {})
+    att = blocks.get("att", {})
+    ff = blocks.get("ff", {})
+    sw = ff.get("swiglu", {})
+
+    def leaf_of(container, name):
+        v = container.get(name)
+        if isinstance(v, dict) and "weight" in v:
+            v = v["weight"]
+        return v
+
+    routes = {}
+    for name, cont in (
+        ("W_query", att),
+        ("W_key", att),
+        ("W_value", att),
+        ("out_proj", att),
+        ("w_down", ff),
+        ("w_gate", sw),
+        ("w_up", sw),
+    ):
+        leaf = leaf_of(cont, name)
+        if isinstance(leaf, dict) and "q4" in leaf:
+            routes[name] = ("stacked", None)
+    head = lm.get("lm_head", {})
+    head_w = head.get("weight") if isinstance(head, dict) else None
+    if isinstance(head_w, dict) and "q4" in head_w:
+        routes["lm_head"] = 8 * 1024 * 1024
+    return routes
+
+
 def _gemv_apply(x, entry, layer_idx, sliced_weight=None):
     from llama32mm_tpu.ops.pallas.gemv import (
         gemv_pallas,
         gemv_stacked_pallas,
+        int4_gemv_pallas,
+        int4_gemv_stacked_pallas,
         int8_gemv_pallas,
         int8_gemv_stacked_pallas,
     )
@@ -246,9 +293,15 @@ def _gemv_apply(x, entry, layer_idx, sliced_weight=None):
     if mode == "slice":
         w = sliced_weight
         if is_quantized(w):
+            if "q4" in w:
+                return int4_gemv_pallas(x, w["q4"], w["scale"], block_bytes=bb)
             return int8_gemv_pallas(x, w["q"], w["scale"], block_bytes=bb)
         return gemv_pallas(x, w, block_bytes=bb)
     if is_quantized(leaf):
+        if "q4" in leaf:
+            return int4_gemv_stacked_pallas(
+                x, leaf["q4"], leaf["scale"], layer_idx, block_bytes=bb
+            )
         return int8_gemv_stacked_pallas(x, leaf["q"], leaf["scale"], layer_idx, block_bytes=bb)
     return gemv_stacked_pallas(x, leaf, layer_idx, block_bytes=bb)
 
@@ -703,10 +756,12 @@ def lm_head_apply(
             out = gemv_pallas(hidden, params["model"]["tok_emb"]["weight"].T, block_bytes=bb)
         elif is_quantized(w) and "q" in w:
             out = int8_gemv_pallas(hidden, w["q"], w["scale"], block_bytes=bb)
-        elif not is_quantized(w):
+        elif is_quantized(w):  # int4 packed-nibble head
+            from llama32mm_tpu.ops.pallas.gemv import int4_gemv_pallas
+
+            out = int4_gemv_pallas(hidden, w["q4"], w["scale"], block_bytes=bb)
+        else:
             out = gemv_pallas(hidden, w, block_bytes=bb)
-        else:  # int4: no gemv kernel — fall through to qlinear
-            return _linear(hidden, w, lora, dropout_rng, dropout_rate, impl=impl)
         return _maybe_lora(hidden, out, lora, dropout_rng, dropout_rate)
     if w is None:
         w = params["model"]["tok_emb"]["weight"].T

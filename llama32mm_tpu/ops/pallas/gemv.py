@@ -213,6 +213,151 @@ def int8_gemv_stacked_pallas(
     return out.reshape(*shape[:-1], n)
 
 
+def _int4_kernel(l_ref, xlo_ref, xhi_ref, xsum_ref, w_ref, scale_ref, out_ref,
+                 *, g2, ng, chunk_rows):
+    """Full-K int4 gemv block: unpack the split-half nibble packing
+    (ops/quant.py::quantize_weight_int4) in VMEM, group-chunked so the i32 /
+    plane intermediates stay ~``chunk_rows``×BN, and fold the ``u = q+8``
+    offset out with an in-kernel fp32 correction dot
+    (``dot(x, (u-8)·s) = dot(x_planes, u·s) - 8·Σ_g xsum_g·s_g``) — unlike
+    the round-3 kernel (ops/pallas/quant_matmul.py) no fp32 raw output or
+    XLA-side scale slice ever exists, so the stacked variant streams ONLY the
+    packed bytes + scales per decode step."""
+    r = xlo_ref.shape[0]
+    bn = out_ref.shape[1]
+    acc = jnp.zeros((r, bn), jnp.float32)
+    cdtype = xlo_ref.dtype
+
+    def plane_dots(acc, row0, rl, lo, hi):
+        acc = acc + jnp.dot(
+            xlo_ref[:, row0:row0 + rl], lo, preferred_element_type=jnp.float32
+        )
+        return acc + jnp.dot(
+            xhi_ref[:, row0:row0 + rl], hi, preferred_element_type=jnp.float32
+        )
+
+    if g2 <= chunk_rows:
+        cg = max(1, chunk_rows // g2)
+        for g0 in range(0, ng, cg):
+            gn = min(cg, ng - g0)
+            row0, rl = g0 * g2, gn * g2
+            b = w_ref[0, row0:row0 + rl, :].astype(jnp.int32)
+            sc = scale_ref[0, g0:g0 + gn, :]
+            scx = sc.astype(cdtype)[:, None, :]
+            lo = ((b & 0xF).astype(cdtype).reshape(gn, g2, bn) * scx).reshape(rl, bn)
+            hi = ((b >> 4).astype(cdtype).reshape(gn, g2, bn) * scx).reshape(rl, bn)
+            acc = plane_dots(acc, row0, rl, lo, hi)
+            acc = acc - 8.0 * jnp.dot(
+                xsum_ref[:, g0:g0 + gn], sc, preferred_element_type=jnp.float32
+            )
+    else:
+        # few huge groups (per-channel int4: ng == 1) — sub-chunk rows within
+        # each group; the group's scale row broadcasts over the sub-chunk
+        for g0 in range(ng):
+            sc = scale_ref[0, g0:g0 + 1, :]  # [1, bn] fp32
+            scx = sc.astype(cdtype)
+            for rs in range(0, g2, chunk_rows):
+                rl = min(chunk_rows, g2 - rs)
+                row0 = g0 * g2 + rs
+                b = w_ref[0, row0:row0 + rl, :].astype(jnp.int32)
+                lo = (b & 0xF).astype(cdtype) * scx
+                hi = (b >> 4).astype(cdtype) * scx
+                acc = plane_dots(acc, row0, rl, lo, hi)
+            acc = acc - 8.0 * jnp.dot(
+                xsum_ref[:, g0:g0 + 1], sc, preferred_element_type=jnp.float32
+            )
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+_INT4_CHUNK_ROWS = 512  # packed rows unpacked per in-kernel step (~BN·4 KB i32)
+
+
+def _int4_xplanes(x2d, k2: int, ng: int):
+    """Split x into the lo/hi contraction planes matching the split-half
+    nibble packing, plus the per-group fp32 row sums for offset removal."""
+    r, k = x2d.shape
+    g = k // ng
+    xg = x2d.reshape(r, ng, g)
+    x_lo = xg[:, :, : g // 2].reshape(r, k2)
+    x_hi = xg[:, :, g // 2 :].reshape(r, k2)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [r, ng]
+    return x_lo, x_hi, xsum
+
+
+def int4_gemv_stacked_pallas(
+    x: jax.Array,  # [..., K]
+    q4: jax.Array,  # [L, K/2, N] uint8 (split-half nibble packing)
+    scale: jax.Array,  # [L, NG, N] fp32 per-(group, output-channel)
+    layer_idx: jax.Array,  # scalar int32
+    block_bytes: int | None = None,
+) -> jax.Array:
+    """int4 weights-only variant of :func:`gemv_stacked_pallas`.
+
+    This is what makes int4 a SPEED mode, not just a capacity mode: the
+    round-3 kernel (``ops/pallas/quant_matmul.py::int4_matmul_pallas``)
+    consumed the layer scan's dynamic-slice operand, so every decode step
+    paid an HBM→HBM copy of the packed bytes before the kernel even ran
+    (the same ~3× traffic penalty gemv_stacked_pallas documents for bf16).
+    Reading layer ``layer_idx``'s full-K column blocks straight out of the
+    stacked HBM array leaves only the packed stream + the VMEM nibble
+    unpack (~8 VPU ops/byte — the throughput ceiling on v5e)."""
+    shape = x.shape
+    L, k2, n = q4.shape
+    ng = scale.shape[1]
+    k = 2 * k2
+    g2 = k2 // ng
+    x2d = x.reshape(-1, k)
+    r = x2d.shape[0]
+    bn = _block_n(k2, n, 1, block_bytes or (8 * _MB))
+    x_lo, x_hi, xsum = _int4_xplanes(x2d, k2, ng)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, g2=g2, ng=ng, chunk_rows=_INT4_CHUNK_ROWS),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cdiv(n, bn),),
+            in_specs=[
+                pl.BlockSpec((r, k2), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, k2), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, ng), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k2, bn), lambda i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ng, bn), lambda i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((r, bn), lambda i, l: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * n,
+            bytes_accessed=2 * r * k2 * x.dtype.itemsize + k2 * n + ng * n * 4
+            + r * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(lidx, x_lo, x_hi, xsum, q4, scale)
+    return out.reshape(*shape[:-1], n)
+
+
+def int4_gemv_pallas(
+    x: jax.Array,  # [..., K]
+    q4: jax.Array,  # [K/2, N] uint8
+    scale: jax.Array,  # [NG, N] fp32
+    block_bytes: int | None = None,
+) -> jax.Array:
+    """Single-weight int4 gemv (the int4 lm_head / slice-mode case): the
+    stacked kernel over an L=1 view (the reshape is free — same buffer)."""
+    return int4_gemv_stacked_pallas(
+        x, q4[None], scale[None], jnp.int32(0), block_bytes=block_bytes
+    )
+
+
 def _t_kernel(x_ref, wt_ref, out_ref):
     # wt block is [BN, K]; contract x's K with wt's K (no transpose copy —
     # the MXU takes either operand orientation).

@@ -104,6 +104,60 @@ class TestKernels:
             want = (x @ q[l].astype(x.dtype)).astype(jnp.float32) * scale[l]
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-6)
 
+    def test_int4_gemv(self):
+        """Single-weight int4 gemv vs the dequantized matmul (per-group
+        scales, ng=4)."""
+        from llama32mm_tpu.ops.pallas.gemv import int4_gemv_pallas
+        from llama32mm_tpu.ops.quant import dequantize_weight, quantize_weight_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+        x = _rand(k1, (1, 128))
+        qw = quantize_weight_int4(_rand(k2, (128, 256)), group_size=32)
+        got = int4_gemv_pallas(x, qw["q4"], qw["scale"], block_bytes=64 * 1024)
+        want = x @ dequantize_weight(qw, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+    def test_int4_gemv_per_channel(self):
+        """ng=1 (per-channel) exercises the huge-group sub-chunking branch."""
+        from llama32mm_tpu.ops.pallas.gemv import int4_gemv_pallas
+        from llama32mm_tpu.ops.quant import dequantize_weight, quantize_weight_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+        x = _rand(k1, (2, 256))
+        qw = quantize_weight_int4(_rand(k2, (256, 128)), group_size=256)
+        got = int4_gemv_pallas(x, qw["q4"], qw["scale"], block_bytes=64 * 1024)
+        want = x @ dequantize_weight(qw, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+    def test_int4_gemv_stacked(self):
+        """Stacked int4 gemv indexes the right layer, incl. under a traced
+        scan index."""
+        from llama32mm_tpu.ops.pallas.gemv import int4_gemv_stacked_pallas
+        from llama32mm_tpu.ops.quant import dequantize_weight, quantize_weight_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(10))
+        x = _rand(k1, (1, 128))
+        w = _rand(k2, (3, 128, 192))
+        qw = quantize_weight_int4(w, group_size=64)
+        for l in range(3):
+            got = int4_gemv_stacked_pallas(
+                x, qw["q4"], qw["scale"], jnp.asarray(l), block_bytes=64 * 1024
+            )
+            one = {"q4": qw["q4"][l], "scale": qw["scale"][l]}
+            want = x @ dequantize_weight(one, jnp.float32)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+        def body(c, l):
+            return c, int4_gemv_stacked_pallas(
+                x, qw["q4"], qw["scale"], l, block_bytes=64 * 1024
+            )
+
+        _, outs = jax.lax.scan(body, 0, jnp.arange(3))
+        for l in range(3):
+            one = {"q4": qw["q4"][l], "scale": qw["scale"][l]}
+            want = x @ dequantize_weight(one, jnp.float32)
+            np.testing.assert_allclose(np.asarray(outs[l]), np.asarray(want), rtol=1e-3, atol=1e-5)
+
     def test_ragged_last_block(self):
         """N not a multiple of the block width exercises the partial block."""
         k1, k2 = jax.random.split(jax.random.PRNGKey(7))
@@ -154,7 +208,9 @@ class TestSplit:
         # untouched leaves unchanged
         assert out["att"]["W_query"] is blocks["att"]["W_query"]
 
-    def test_int4_not_routed(self):
+    def test_int4_routed_stacked(self):
+        """int4 leaves route like int8/bf16 now that the packed-nibble gemv
+        kernel exists (round 4): stacked mode pulls the leaf out of the scan."""
         from llama32mm_tpu.ops.quant import quantize_weight_int4
 
         blocks = self._blocks()
@@ -162,8 +218,25 @@ class TestSplit:
             _rand(jax.random.PRNGKey(9), (3, 128, 64)), group_size=64
         )
         out, ctx = split_gemv_weights(blocks, {"w_down": None})
-        assert ctx is None  # int4 has no gemv kernel → route skipped
-        assert "w_down" in out["ff"]
+        assert ctx is not None and ctx["w_down"][0] == "stacked"
+        assert "w_down" not in out["ff"]
+
+    def test_int4_route_names_extraction(self):
+        """int4_route_names finds exactly the int4 leaves (mixed recipe) and
+        flags the int4 head."""
+        from llama32mm_tpu.models.language import int4_route_names
+        from llama32mm_tpu.ops.quant import INT4_MIXED_RECIPE, quantize_llama_params
+
+        cfg = tiny_cfg(tie=False)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg, tie_weights=False)
+        qp = quantize_llama_params(params, bits=8, group_size=32,
+                                   recipe=INT4_MIXED_RECIPE)
+        routes = int4_route_names(qp)
+        assert set(routes) == {"w_gate", "w_up", "lm_head"}
+        assert routes["w_gate"] == ("stacked", None)
+        assert isinstance(routes["lm_head"], int)
+        # all-int8 tree → no int4 routes
+        assert int4_route_names(quantize_llama_params(params, bits=8)) == {}
 
     def test_default_routes_shape(self):
         # Only ablation-verified winners ship as defaults: int8 lm_head (the
@@ -241,6 +314,30 @@ class TestEngineRoutes:
             k: (("slice", 64 * 1024) if isinstance(v, tuple) and v[0] == "slice"
                 else ("stacked", 64 * 1024) if isinstance(v, tuple)
                 else 64 * 1024)
+            for k, v in routes.items()
+        }
+        base = InferenceEngine(qparams, cfg, gemv_routes=None)
+        routed = InferenceEngine(qparams, cfg, gemv_routes=routes)
+        r0 = base.generate(ids, max_new_tokens=6, temperature=0.0)
+        r1 = routed.generate(ids, max_new_tokens=6, temperature=0.0)
+        np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
+
+    def test_generate_routes_int4(self):
+        """All-int4 decode with the int4 gemv routes is token-identical to
+        the unrouted qlinear path (routes from int4_route_names, toy blocks)."""
+        from llama32mm_tpu.inference.engine import InferenceEngine
+        from llama32mm_tpu.models.language import int4_route_names
+        from llama32mm_tpu.ops.quant import quantize_llama_params
+
+        cfg = tiny_cfg(tie=False)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg, tie_weights=False)
+        qparams = quantize_llama_params(params, bits=4, group_size=32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, 250)
+        routes = int4_route_names(qparams)
+        assert set(routes) >= {"W_query", "w_down", "w_gate", "w_up", "lm_head"}
+        # toy block sizes
+        routes = {
+            k: (("stacked", 64 * 1024) if isinstance(v, tuple) else 64 * 1024)
             for k, v in routes.items()
         }
         base = InferenceEngine(qparams, cfg, gemv_routes=None)
