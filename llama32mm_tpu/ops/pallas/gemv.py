@@ -269,6 +269,87 @@ def _int4_kernel(l_ref, xlo_ref, xhi_ref, xsum_ref, w_ref, scale_ref, out_ref,
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
+def _int4_kernel_post(l_ref, x_ref, xsum_ref, w_ref, scale_ref, out_ref,
+                      *, g2, ng, chunk_rows, cat):
+    """v2 int4 unpack — minimum VPU ops per packed byte, and no shift.
+
+    The v1 kernel (:func:`_int4_kernel`) measured only ~300 GB/s of packed
+    bytes (vs ~700 for the int8 kernel's stream) because its unpack pays ~7
+    lane-ops per byte: an i32 widen, mask+shift in 32-bit lanes, two
+    int→bf16 converts, and two per-element scale multiplies. Two changes:
+
+    1. **Shift-free nibble algebra.** Mosaic only legalizes vector shifts at
+       i32 width (``arith.shrui``/``shrsi`` fail on i8/i16 lanes — probed on
+       chip), which is exactly the widening v1 pays for. But the high nibble
+       never needs extracting: with ``b = 16·u_hi + u_lo`` and the x columns
+       pre-transformed host-side to ``x_hi' = x_hi/16`` (exact in bf16 —
+       power-of-two exponent step) and ``x_lo' = x_lo − x_hi'``,
+
+           dot(x_hi', b) + dot(x_lo', u_lo)
+         = Σ x_hi·u_hi + (1/16)Σ x_hi·u_lo + Σ x_lo·u_lo − (1/16)Σ x_hi·u_lo
+         = Σ x_hi·u_hi + Σ x_lo·u_lo.
+
+       So the kernel only computes ``u_lo = b & 0xF`` (AND on the u8 lanes,
+       then the i8 hop — Mosaic has no u8→bf16 cast; u8→i8 is a reinterpret
+       for values 0..15) and casts ``b`` whole via i16 (0..255 is exact in
+       bf16). No shift, no i32 lanes.
+    2. **fp32 per-group post-scale.** The per-(group, channel) scale is
+       applied ONCE per group to the [r, bn] partial dot in fp32 — legal
+       because the scale is constant along the contraction rows of its
+       group: ``dot(x_g, u_g·s_g) = dot(x_g, u_g)·s_g``. The ``u = q+8``
+       offset folds out with one correction dot at the end:
+       ``Σ_g dot(x_g, u_g)·s_g − 8·dot(xsum, s)`` (xsum from the ORIGINAL
+       x, not the transformed planes).
+
+    ``cat=True`` stacks each group's (u_lo, b) planes into one [g, bn]
+    operand so the group partial is a single K=g dot (the split-half packing
+    makes the matching x slice contiguous: group g's transformed x columns
+    are [x_lo'_g | x_hi'_g]); ``cat=False`` runs two K=g/2 dots and skips
+    the concatenate copy. A/B'd on chip in scripts/bench_int4_kernel.py.
+    """
+    r = x_ref.shape[0]
+    bn = out_ref.shape[1]
+    g = 2 * g2
+    acc = jnp.zeros((r, bn), jnp.float32)
+    cdtype = x_ref.dtype
+
+    def planes(b):
+        lo = (b & 0xF).astype(jnp.int8).astype(cdtype)
+        bc = b.astype(jnp.int16).astype(cdtype)
+        return lo, bc
+
+    if g2 <= chunk_rows:
+        for g0 in range(ng):
+            lo, bc = planes(w_ref[0, g0 * g2:(g0 + 1) * g2, :])
+            if cat:
+                wg = jnp.concatenate([lo, bc], axis=0)  # [g, bn]
+                part = jnp.dot(x_ref[:, g0 * g:(g0 + 1) * g], wg,
+                               preferred_element_type=jnp.float32)
+            else:
+                part = jnp.dot(x_ref[:, g0 * g:g0 * g + g2], lo,
+                               preferred_element_type=jnp.float32)
+                part = part + jnp.dot(x_ref[:, g0 * g + g2:(g0 + 1) * g], bc,
+                                      preferred_element_type=jnp.float32)
+            acc = acc + part * scale_ref[0, g0:g0 + 1, :]
+    else:
+        # few huge groups (per-channel int4: ng == 1) — sub-chunk packed rows
+        # within each group; the scale still applies once per group
+        for g0 in range(ng):
+            part = jnp.zeros((r, bn), jnp.float32)
+            for rs in range(0, g2, chunk_rows):
+                rl = min(chunk_rows, g2 - rs)
+                lo, bc = planes(w_ref[0, g0 * g2 + rs:g0 * g2 + rs + rl, :])
+                part = part + jnp.dot(x_ref[:, g0 * g + rs:g0 * g + rs + rl],
+                                      lo, preferred_element_type=jnp.float32)
+                part = part + jnp.dot(
+                    x_ref[:, g0 * g + g2 + rs:g0 * g + g2 + rs + rl], bc,
+                    preferred_element_type=jnp.float32)
+            acc = acc + part * scale_ref[0, g0:g0 + 1, :]
+    acc = acc - 8.0 * jnp.dot(xsum_ref[:], scale_ref[0],
+                              preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
 _INT4_CHUNK_ROWS = 512  # packed rows unpacked per in-kernel step (~BN·4 KB i32)
 
 
@@ -284,12 +365,16 @@ def _int4_xplanes(x2d, k2: int, ng: int):
     return x_lo, x_hi, xsum
 
 
+_INT4_VARIANT = "post"  # chip A/B winner (scripts/bench_int4_kernel.py)
+
+
 def int4_gemv_stacked_pallas(
     x: jax.Array,  # [..., K]
     q4: jax.Array,  # [L, K/2, N] uint8 (split-half nibble packing)
     scale: jax.Array,  # [L, NG, N] fp32 per-(group, output-channel)
     layer_idx: jax.Array,  # scalar int32
     block_bytes: int | None = None,
+    variant: str | None = None,
 ) -> jax.Array:
     """int4 weights-only variant of :func:`gemv_stacked_pallas`.
 
@@ -300,7 +385,11 @@ def int4_gemv_stacked_pallas(
     (the same ~3× traffic penalty gemv_stacked_pallas documents for bf16).
     Reading layer ``layer_idx``'s full-K column blocks straight out of the
     stacked HBM array leaves only the packed stream + the VMEM nibble
-    unpack (~8 VPU ops/byte — the throughput ceiling on v5e)."""
+    unpack — and the unpack cost per byte decides whether int4 beats int8
+    (see :func:`_int4_kernel_post`). ``variant``: "post" (u8-native unpack,
+    fp32 per-group post-scale, default), "post-cat" (same, single K=g dot
+    per group), "pre" (v1: i32 unpack, bf16 premultiplied scales)."""
+    variant = variant or _INT4_VARIANT
     shape = x.shape
     L, k2, n = q4.shape
     ng = scale.shape[1]
@@ -309,9 +398,57 @@ def int4_gemv_stacked_pallas(
     x2d = x.reshape(-1, k)
     r = x2d.shape[0]
     bn = _block_n(k2, n, 1, block_bytes or (8 * _MB))
-    x_lo, x_hi, xsum = _int4_xplanes(x2d, k2, ng)
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * n,
+            bytes_accessed=2 * r * k2 * x.dtype.itemsize + k2 * n + ng * n * 4
+            + r * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )
+
+    if variant.startswith("post"):
+        xf = x2d.reshape(r, ng, 2, g2).astype(jnp.float32)
+        xsum = jnp.sum(xf, axis=(2, 3))  # [r, ng] — from the ORIGINAL x
+        # shift-free scheme (see _int4_kernel_post): x_hi' = x_hi/16 (exact),
+        # x_lo' = x_lo − x_hi'
+        xhi = xf[:, :, 1] * (1.0 / 16.0)
+        xprep = jnp.stack([xf[:, :, 0] - xhi, xhi], axis=2)
+        xprep = xprep.reshape(r, k).astype(x.dtype)
+        out = pl.pallas_call(
+            functools.partial(
+                _int4_kernel_post, g2=g2, ng=ng,
+                chunk_rows=_INT4_CHUNK_ROWS, cat=(variant == "post-cat"),
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(cdiv(n, bn),),
+                in_specs=[
+                    pl.BlockSpec((r, k), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r, ng), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, k2, bn), lambda i, l: (l[0], 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ng, bn), lambda i, l: (l[0], 0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((r, bn), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM),
+            ),
+            **common,
+        )(lidx, xprep, xsum, q4, scale)
+        return out.reshape(*shape[:-1], n)
+
+    x_lo, x_hi, xsum = _int4_xplanes(x2d, k2, ng)
     out = pl.pallas_call(
         functools.partial(_int4_kernel, g2=g2, ng=ng, chunk_rows=_INT4_CHUNK_ROWS),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -329,18 +466,7 @@ def int4_gemv_stacked_pallas(
             out_specs=pl.BlockSpec((r, bn), lambda i, l: (0, i),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * r * k * n,
-            bytes_accessed=2 * r * k2 * x.dtype.itemsize + k2 * n + ng * n * 4
-            + r * n * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=use_interpret(),
+        **common,
     )(lidx, x_lo, x_hi, xsum, q4, scale)
     return out.reshape(*shape[:-1], n)
 
@@ -350,11 +476,13 @@ def int4_gemv_pallas(
     q4: jax.Array,  # [K/2, N] uint8
     scale: jax.Array,  # [NG, N] fp32
     block_bytes: int | None = None,
+    variant: str | None = None,
 ) -> jax.Array:
     """Single-weight int4 gemv (the int4 lm_head / slice-mode case): the
     stacked kernel over an L=1 view (the reshape is free — same buffer)."""
     return int4_gemv_stacked_pallas(
-        x, q4[None], scale[None], jnp.int32(0), block_bytes=block_bytes
+        x, q4[None], scale[None], jnp.int32(0), block_bytes=block_bytes,
+        variant=variant,
     )
 
 

@@ -129,6 +129,33 @@ class TestKernels:
         want = x @ dequantize_weight(qw, jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
 
+    def test_int4_variants_agree(self):
+        """All unpack variants (pre / post / post-cat) match the dequantized
+        matmul; the post variants (fp32 per-group post-scale) are strictly
+        tighter than pre (bf16 premultiplied scales)."""
+        from llama32mm_tpu.ops.pallas.gemv import int4_gemv_stacked_pallas
+        from llama32mm_tpu.ops.quant import dequantize_weight, quantize_weight_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+        x = _rand(k1, (2, 256))
+        w = _rand(k2, (2, 256, 192))
+        for gs in (64, 256):  # grouped and per-channel (sub-chunk branch)
+            qw = quantize_weight_int4(w, group_size=gs)
+            one = {"q4": qw["q4"][1], "scale": qw["scale"][1]}
+            want = np.asarray(x @ dequantize_weight(one, jnp.float32))
+            errs = {}
+            for v in ("pre", "post", "post-cat"):
+                got = int4_gemv_stacked_pallas(
+                    x, qw["q4"], qw["scale"], jnp.asarray(1),
+                    block_bytes=64 * 1024, variant=v,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got), want, rtol=2e-2, atol=2e-2
+                )
+                errs[v] = float(np.max(np.abs(np.asarray(got, np.float32) - want)))
+            assert errs["post"] <= errs["pre"] + 1e-6
+            assert errs["post-cat"] <= errs["pre"] + 1e-6
+
     def test_int4_gemv_stacked(self):
         """Stacked int4 gemv indexes the right layer, incl. under a traced
         scan index."""
