@@ -330,6 +330,39 @@ def main() -> None:
         _progress("LoRA train-step throughput (compile + 5 steps)")
         train_metrics = bench_lora_train(cfg, params)
 
+    # --- int4 serving mode on the 3B shapes: every decoder linear + head
+    # packed-nibble (g=128) + int8 KV. Measured BEFORE the bf16→int8 donation
+    # (needs the bf16 originals); quality reported against the same bf16
+    # teacher-forced span so the speed number isn't blind.
+    int4_metrics = {}
+    if backend == "tpu" and not os.environ.get("BENCH_SKIP_INT4"):
+        try:
+            _progress("quantizing to int4 + measuring int4 quality/speed")
+            from llama32mm_tpu.ops.quant import quantize_llama_params as _q
+
+            q4params = _q(params, bits=4)
+            logits_int4 = teacher_forced_logits(
+                q4params, cfg, ext_ids, px, QUALITY_SPAN, kv_dtype="int8"
+            )
+            i4_top1 = float(np.mean(
+                np.argmax(logits_bf16, -1) == np.argmax(logits_int4, -1)
+            ))
+            i4_dlogit = float(np.mean(np.abs(logits_bf16 - logits_int4)))
+            q4engine = InferenceEngine(
+                q4params, cfg, max_cache_length=CACHE_LEN, kv_dtype="int8"
+            )
+            i4_tps, i4_spread = engine_decode_rate(q4engine, ids, px, reps=5)
+            del q4engine
+            q4params = None
+            int4_metrics = {
+                "int4_decode_tokens_per_sec": round(i4_tps, 2),
+                "int4_decode_spread": round(i4_spread, 2),
+                "int4_top1_agreement": round(i4_top1, 4),
+                "int4_mean_abs_dlogit": round(i4_dlogit, 4),
+            }
+        except Exception as e:  # never break the driver capture
+            _progress(f"int4 3B section failed: {type(e).__name__}: {e}")
+
     # --- full int8 serving mode: int8 weights + int8 KV cache ---
     _progress("quantizing to int8 + measuring int8 quality/speed")
     from llama32mm_tpu.ops.quant import quantize_llama_params
@@ -378,6 +411,14 @@ def main() -> None:
         _progress("11B int8 section: on-device param init")
         cfg11 = llama32_11b_vision_config(max_cache_length=CACHE_LEN)
         m11b = bench_11b_int8(cfg11, hbm_gbps, sol=sol_11b)
+        if not os.environ.get("BENCH_SKIP_INT4"):
+            try:
+                gc.collect()
+                jax.clear_caches()
+                _progress("11B int4 section: param init")
+                m11b.update(bench_11b_int4(cfg11, hbm_gbps))
+            except Exception as e:
+                _progress(f"11B int4 section failed: {type(e).__name__}: {e}")
 
     print(
         json.dumps(
@@ -429,6 +470,7 @@ def main() -> None:
                 "int8kv_top1_agreement": round(int8kv_top1, 4),
                 "int8kv_mean_abs_dlogit": round(int8kv_dlogit, 4),
                 **({"batch8_decode_tokens_per_sec": round(batch_tps, 1)} if batch_tps else {}),
+                **int4_metrics,
                 **train_metrics,
                 **m11b,
                 "config": "llama3.2-3B-text+ViT-H/14@560, bf16, 1 chip",
@@ -610,6 +652,99 @@ def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float, sol: dict | None = None
         ),
         "m11b_int8_ttft_p50_ms": round(ttft * 1e3, 1),
         "m11b_config": "llama3.2-11B-Vision shapes, int8 weights + int8 KV, 1 chip",
+    }
+
+
+INT4_GROUP = 128
+
+
+def random_int4_vlm_params(cfg: MLLAMAConfig):
+    """Random 11B params with ALL decoder linears + lm_head int4
+    packed-nibble (per-group-128 scales), vision/embeddings bf16 — built by
+    swapping q4 leaves into :func:`random_int8_vlm_params`'s tree (packed
+    bytes drawn host-side: uint8 bulk randomness is cheap and layer-unique,
+    so no buffer-dedup hazard — see the int8 builder's docstring)."""
+    tc = cfg.text_config
+    rng = np.random.default_rng(0)
+
+    def q4leaf(shape):
+        *lead, ci, co = shape
+        packed = rng.integers(0, 256, (*lead, ci // 2, co), dtype=np.uint8)
+        scale = np.full((*lead, ci // INT4_GROUP, co), 0.008, np.float32)
+        return {"q4": jax.device_put(jnp.asarray(packed)),
+                "scale": jax.device_put(jnp.asarray(scale))}
+
+    params = random_int8_vlm_params(cfg)
+    h, hd, nq, nkv, inter, L = (
+        tc.hidden_size, tc.head_dim, tc.n_heads, tc.n_kv_groups, tc.hidden_dim,
+        tc.n_layers,
+    )
+    blocks = params["language_model"]["model"]["blocks"]
+    blocks["att"]["W_query"]["weight"] = q4leaf((L, h, nq * hd))
+    blocks["att"]["W_key"]["weight"] = q4leaf((L, h, nkv * hd))
+    blocks["att"]["W_value"]["weight"] = q4leaf((L, h, nkv * hd))
+    blocks["att"]["out_proj"]["weight"] = q4leaf((L, nq * hd, h))
+    blocks["ff"]["swiglu"]["w_gate"] = q4leaf((L, h, inter))
+    blocks["ff"]["swiglu"]["w_up"] = q4leaf((L, h, inter))
+    blocks["ff"]["w_down"]["weight"] = q4leaf((L, inter, h))
+    params["language_model"]["lm_head"]["weight"] = q4leaf((h, tc.vocab_size))
+    return params
+
+
+def bench_11b_int4(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
+    """11B north-star shapes with every decoder linear + head int4
+    packed-nibble (g=128) + int8 KV — since the shift-free unpack kernel
+    (ops/pallas/gemv.py::_int4_kernel_post) this is the FASTEST 11B serving
+    mode on one chip, not just the smallest (~7.2 GB weights)."""
+    tc = cfg11.text_config
+    params = random_int4_vlm_params(cfg11)
+    ids, raw, s = make_inputs(cfg11, seed=5)
+
+    @jax.jit
+    def preprocess(raw):
+        return preprocess_image_device(raw, cfg11.vision_config.image_size, tc.jnp_dtype)
+
+    px = preprocess(raw)
+    engine = InferenceEngine(params, cfg11, max_cache_length=CACHE_LEN, kv_dtype="int8")
+
+    def run(max_new):
+        return np.asarray(
+            engine.generate(
+                ids, px, max_new_tokens=max_new, temperature=0.0, eos_token_id=-1,
+                rng=jax.random.PRNGKey(0),
+            ).tokens
+        )
+
+    _progress("11B int4: compiling + measuring TTFT")
+    run(1)
+    ttft, _ = timed_median(lambda: run(1), 5)
+    _progress("11B int4: measuring decode rate")
+    tps, spread = engine_decode_rate(engine, ids, px, reps=7, max_new=128, short=16)
+
+    # Roofline from the bytes the decode step actually streams: the live
+    # decoder+head leaves as allocated (q4 packed + fp32 group scales +
+    # bf16 norms) + the int8 KV prefix — no analytic model to drift.
+    lm = params["language_model"]
+    stream = sum(
+        x.nbytes
+        for x in jax.tree.leaves(
+            {"blocks": lm["model"]["blocks"], "fn": lm["model"]["final_norm"],
+             "head": lm["lm_head"]}
+        )
+    )
+    mean_ctx = s + (128 + 16) // 2
+    kv = tc.n_layers * 2 * tc.n_kv_groups * tc.head_dim * mean_ctx
+    kv += tc.n_layers * 2 * tc.n_kv_groups * mean_ctx * 4
+    roofline = hbm_gbps * 1e9 / float(stream + kv)
+    return {
+        "m11b_int4_decode_tokens_per_sec": round(tps, 2),
+        "m11b_int4_decode_spread": round(spread, 2),
+        "m11b_int4_roofline_tokens_per_sec": round(roofline, 2),
+        "m11b_int4_vs_roofline": round(tps / roofline, 4),
+        "m11b_int4_ttft_p50_ms": round(ttft * 1e3, 1),
+        "m11b_int4_weights_gb": round(sum(x.nbytes for x in jax.tree.leaves(params)) / 1e9, 2),
+        "m11b_int4_config": "llama3.2-11B-Vision shapes, int4 packed weights "
+                            "(g=128) + int8 KV, 1 chip",
     }
 
 

@@ -62,10 +62,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 packed target weights (the fastest 11B mode "
+                    "since the shift-free unpack kernel) instead of int8")
     args = ap.parse_args()
     K = args.k
 
-    from bench import CACHE_LEN, engine_decode_rate, make_inputs, random_int8_vlm_params
+    from bench import (
+        CACHE_LEN,
+        engine_decode_rate,
+        make_inputs,
+        random_int4_vlm_params,
+        random_int8_vlm_params,
+    )
 
     from llama32mm_tpu.configs import llama32_11b_vision_config
     from llama32mm_tpu.inference.engine import InferenceEngine
@@ -76,8 +85,9 @@ def main():
     tc = cfg.text_config
     dtc = draft_1b_config(cache=CACHE_LEN)
 
-    print("[spec_e2e] init 11B-int8 target + 1B bf16 draft on device", flush=True)
-    params = random_int8_vlm_params(cfg)
+    wmode = "int4" if args.int4 else "int8"
+    print(f"[spec_e2e] init 11B-{wmode} target + 1B bf16 draft on device", flush=True)
+    params = random_int4_vlm_params(cfg) if args.int4 else random_int8_vlm_params(cfg)
     dparams = jax.jit(lambda k: init_causal_lm_params(k, dtc))(jax.random.PRNGKey(1))
     jax.block_until_ready(dparams)
 
@@ -86,7 +96,8 @@ def main():
         lambda r: preprocess_image_device(r, cfg.vision_config.image_size, tc.jnp_dtype)
     )(raw)
 
-    out = {"k": K, "config": "11B-vision int8+int8KV target, 1B bf16 draft, 1 chip"}
+    out = {"k": K,
+           "config": f"11B-vision {wmode}+int8KV target, 1B bf16 draft, 1 chip"}
 
     def rate(engine, label):
         tps, spread = engine_decode_rate(engine, ids, px, reps=args.reps,
