@@ -390,6 +390,11 @@ def int4_gemv_stacked_pallas(
     fp32 per-group post-scale, default), "post-cat" (same, single K=g dot
     per group), "pre" (v1: i32 unpack, bf16 premultiplied scales)."""
     variant = variant or _INT4_VARIANT
+    if variant not in ("pre", "post", "post-cat"):
+        raise ValueError(
+            f"int4 gemv variant must be one of 'pre'/'post'/'post-cat', got "
+            f"{variant!r}"
+        )
     shape = x.shape
     L, k2, n = q4.shape
     ng = scale.shape[1]

@@ -18,13 +18,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bench import CACHE_LEN, bench_11b_int4  # noqa: E402
+from bench import CACHE_LEN, bench_11b_int4, resolve_hbm_gbps  # noqa: E402
 from llama32mm_tpu.configs import llama32_11b_vision_config  # noqa: E402
 
 
 def main():
     cfg = llama32_11b_vision_config(max_cache_length=CACHE_LEN)
-    print(json.dumps(bench_11b_int4(cfg, 819.0)), flush=True)
+    print(json.dumps(bench_11b_int4(cfg, resolve_hbm_gbps())), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,10 +17,11 @@ Run: python -u scripts/bench_int4_kernel.py
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
