@@ -1001,6 +1001,7 @@ def load_hf_model(
     streaming: bool = False,
     quantize_int8: bool = False,
     quantize_int4: bool = False,
+    return_report: bool = False,
 ):
     """Parity: reference ``load_hf_model(model_path, device)`` (utils.py:149-166)
     → ``(MllamaForConditionalGeneration, tokenizer)``, weights tied.
@@ -1008,7 +1009,12 @@ def load_hf_model(
     ``quantize_int8=True`` (with ``streaming=True``) loads the decoder
     directly into int8 serving form — no bf16 stack ever exists on device.
     The head stays as loaded (int8 if the checkpoint has an untied lm_head);
-    tying is skipped in that case since the embedding stays float."""
+    tying is skipped in that case since the embedding stays float.
+
+    ``return_report=True`` additionally returns the :class:`LoadReport`
+    (skipped / missing / per-row ``row_missing`` diagnostics — the
+    strict=False accounting the reference prints at utils.py:161-165) as a
+    third element, so callers can assert on it instead of scraping stdout."""
     from transformers import AutoTokenizer
 
     from llama32mm_tpu.models.wrapper import MllamaForConditionalGeneration
@@ -1019,12 +1025,15 @@ def load_hf_model(
     config = build_config_from_hf(
         cfg_dict, tokenizer.pad_token_id, dtype=dtype, max_cache_length=max_cache_length
     )
-    params = load_checkpoint_params(
+    params, report = load_checkpoint_params(
         model_path, config, shardings=shardings, streaming=streaming,
         quantize_int8=quantize_int8, quantize_int4=quantize_int4,
+        return_report=True,
     )
     model = MllamaForConditionalGeneration(config, params=params)
     head = params["language_model"]["lm_head"]["weight"]
     if not (isinstance(head, dict) and ("q" in head or "q4" in head)):
         model.tie_weights()
+    if return_report:
+        return model, tokenizer, report
     return model, tokenizer

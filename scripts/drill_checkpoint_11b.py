@@ -1,17 +1,25 @@
-"""11B checkpoint load drill (VERDICT r1 #6).
+"""11B checkpoint load drill (VERDICT r1 #6; re-run on the round-4 loader +
+int4 leg per VERDICT r4 #5).
 
-Three phases, one per invocation:
+Phases, one per invocation:
 
-  python scripts/drill_checkpoint_11b.py write   # host: random 11B-shape checkpoint → shards + index
-  python scripts/drill_checkpoint_11b.py load    # TPU: load_hf_model(streaming=True, quantize_int8=True) + serve
+  python scripts/drill_checkpoint_11b.py write   # host: random 11B-shape checkpoint → shards + index, then
+                                                 # hubified: the 8 cross-attn layers' attention weights are
+                                                 # renamed self_attn→cross_attn (the REAL hub layout), so the
+                                                 # load leg exercises the skip + row_missing reporting exactly
+                                                 # as a meta-llama/Llama-3.2-11B-Vision download would
+  python scripts/drill_checkpoint_11b.py load    # TPU: load_hf_model(streaming=True, quantize_int8=True,
+                                                 # return_report=True) + serve; asserts the report lists the
+                                                 # cross-attn row gaps (non-silent strict=False)
+  python scripts/drill_checkpoint_11b.py load4   # TPU: same with quantize_int4=True (packed-nibble serving form)
   python scripts/drill_checkpoint_11b.py plan90b # CPU virtual mesh: 90B GSPMD placement budget
 
 Measurements (wall time, peak host RSS, HBM in use, load GB/s) are printed and
-recorded in docs/checkpoints.md. The reference's whole purpose is
+recorded in docs/DRILL_11B.jsonl. The reference's whole purpose is
 ``load_hf_model(path) → captioning`` (/root/reference/Model/utils.py:149-166);
 this drill proves that path at the north-star scale: 11B bf16 (21.3 GB) does
 not fit a 16 GB v5e, so the streaming loader quantizes each decoder linear to
-int8 on device as its rows arrive — no bf16 stack ever exists.
+int8/int4 on device as its rows arrive — no bf16 stack ever exists.
 """
 
 from __future__ import annotations
@@ -27,9 +35,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 CKPT_DIR = os.environ.get("DRILL_CKPT_DIR", "/root/ckpt_11b")
 RECORD = os.path.join(os.path.dirname(__file__), "..", "docs", "DRILL_11B.jsonl")
 
+# The real Llama-3.2-11B-Vision hub checkpoint's cross-attention decoder
+# layers (tests/assets/llama32_11b_vision_manifest.json): these layers have
+# cross_attn.{q,k,v,o}_proj instead of self_attn.* — the loader drops the
+# cross_attn keys (unsupported subsystem, reference Model/utils.py:112-119)
+# and must REPORT the resulting self-attn row gaps.
+CROSS_ATTN_LAYERS = (3, 8, 13, 18, 23, 28, 33, 38)
+_ATTN_LEAVES = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+
+def _git_rev():
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        return "?"
+
 
 def record(obj):
-    """Print the phase result and append it to the committed artifact."""
+    """Print the phase result and append it to the committed artifact,
+    stamped with wall-clock time + the code revision that produced it (so
+    stale rounds' entries are distinguishable — VERDICT r4 Missing #1)."""
+    obj = {**obj, "ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "rev": _git_rev()}
     line = json.dumps(obj)
     print(line, flush=True)
     with open(RECORD, "a") as f:
@@ -85,8 +116,66 @@ def write_checkpoint():
         "index": os.path.exists(os.path.join(CKPT_DIR, "model.safetensors.index.json")),
         "peak_rss_gb": round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
     })
+    t0 = time.time()
+    n_renamed = _hubify_cross_attn(CKPT_DIR)
+    record({
+        "phase": "hubify",
+        "cross_attn_layers": list(CROSS_ATTN_LAYERS),
+        "renamed_keys": n_renamed,
+        "hubify_s": round(time.time() - t0, 1),
+    })
     # minimal tokenizer so load_hf_model's AutoTokenizer step works offline
     _write_minimal_tokenizer(CKPT_DIR)
+
+
+def _hubify_cross_attn(path: str) -> int:
+    """Rewrite the saved checkpoint into the REAL hub layout for the 8
+    cross-attention layers: their attention weights live under
+    ``cross_attn.{q,k,v,o}_proj``, not ``self_attn.*``. Renaming keys leaves
+    every data offset unchanged (offsets are relative to the end of the
+    header), so each shard is rewritten as new-header + verbatim data copy —
+    no tensor is ever deserialized. Returns the number of renamed keys."""
+    import shutil
+    import struct
+
+    renames = {}
+    for i in CROSS_ATTN_LAYERS:
+        for leaf in _ATTN_LEAVES:
+            renames[
+                f"language_model.model.layers.{i}.self_attn.{leaf}.weight"
+            ] = f"language_model.model.layers.{i}.cross_attn.{leaf}.weight"
+
+    n_renamed = 0
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".safetensors"):
+            continue
+        fpath = os.path.join(path, fname)
+        with open(fpath, "rb") as f:
+            hlen = struct.unpack("<Q", f.read(8))[0]
+            header = json.loads(f.read(hlen))
+        hit = [k for k in header if k in renames]
+        if not hit:
+            continue
+        n_renamed += len(hit)
+        hjson = json.dumps({renames.get(k, k): v for k, v in header.items()}).encode()
+        tmp = fpath + ".tmp"
+        with open(fpath, "rb") as src, open(tmp, "wb") as dst:
+            src.seek(8 + hlen)
+            dst.write(struct.pack("<Q", len(hjson)))
+            dst.write(hjson)
+            shutil.copyfileobj(src, dst, 64 * 1024 * 1024)
+        os.replace(tmp, fpath)
+
+    idx_path = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            idx = json.load(f)
+        idx["weight_map"] = {
+            renames.get(k, k): v for k, v in idx["weight_map"].items()
+        }
+        with open(idx_path, "w") as f:
+            json.dump(idx, f)
+    return n_renamed
 
 
 def _write_minimal_tokenizer(path):
@@ -122,7 +211,7 @@ def _hbm_stats(dev):
         return {}
 
 
-def load_and_serve():
+def load_and_serve(quant: str = "int8"):
     import gc
 
     import jax
@@ -134,8 +223,10 @@ def load_and_serve():
 
     dev = jax.devices()[0]
     t0 = time.time()
-    model, tokenizer = load_hf_model(
-        CKPT_DIR, streaming=True, quantize_int8=True, max_cache_length=1792
+    model, tokenizer, report = load_hf_model(
+        CKPT_DIR, streaming=True, quantize_int8=(quant == "int8"),
+        quantize_int4=(quant == "int4"), max_cache_length=1792,
+        return_report=True,
     )
     t_load = time.time() - t0
     nbytes = sum(
@@ -143,16 +234,35 @@ def load_and_serve():
         for f in os.listdir(CKPT_DIR)
         if f.endswith(".safetensors")
     )
+    # VERDICT r4 #5: assert the strict=False report is non-silent — the
+    # hubified checkpoint's 8 cross-attn layers must surface as skipped
+    # cross_attn keys AND per-row gaps on all four attention leaves.
+    n_cross_skipped = sum(1 for k in report.skipped if ".cross_attn." in k)
+    expected_rows = str(list(CROSS_ATTN_LAYERS))
+    attn_leaves = ("W_query", "W_key", "W_value", "out_proj")
+    rm_ok = all(
+        any(leaf in line and expected_rows in line for line in report.row_missing)
+        for leaf in attn_leaves
+    )
     record({
         "phase": "load",
+        "quant": quant,
         "backend": jax.default_backend(),
         "device": getattr(dev, "device_kind", "?"),
         "checkpoint_gb": round(nbytes / 1e9, 2),
         "load_s": round(t_load, 1),
         "load_gbps": round(nbytes / 1e9 / t_load, 2),
+        "report_skipped": len(report.skipped),
+        "report_cross_attn_skipped": n_cross_skipped,
+        "report_row_missing": report.row_missing,
+        "report_missing": len(report.missing),
+        "row_missing_matches_cross_attn_layers": rm_ok,
         "peak_rss_gb": round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
         **_hbm_stats(dev),
     })
+    assert rm_ok, (
+        f"row_missing report did not list the cross-attn gaps: {report.row_missing}"
+    )
 
     # Drop the loader's compiled programs (alloc/write_qrow executables and
     # any donated-buffer references they pin) before serving.
@@ -195,7 +305,8 @@ def load_and_serve():
         try:
             toks, t_gen, engine = attempt(text_len, cache_len)
         except Exception as e:
-            record({"phase": "serve_attempt_failed", "prompt": n_img + text_len,
+            record({"phase": "serve_attempt_failed", "quant": quant,
+                    "prompt": n_img + text_len,
                     "cache": cache_len, "headroom_probe_gb": headroom,
                     "error": f"{type(e).__name__}: {str(e)[:120]}"})
             gc.collect()
@@ -203,6 +314,7 @@ def load_and_serve():
             continue
         record({
             "phase": "serve",
+            "quant": quant,
             "prompt": n_img + text_len,
             "cache": cache_len,
             "headroom_probe_gb": headroom,
@@ -261,4 +373,9 @@ def plan_90b():
 
 
 if __name__ == "__main__":
-    {"write": write_checkpoint, "load": load_and_serve, "plan90b": plan_90b}[sys.argv[1]]()
+    {
+        "write": write_checkpoint,
+        "load": load_and_serve,
+        "load4": lambda: load_and_serve("int4"),
+        "plan90b": plan_90b,
+    }[sys.argv[1]]()
