@@ -32,11 +32,14 @@ import numpy as np
 from llama32mm_tpu.configs import MLLAMAConfig
 
 
-def _window_fn(config: MLLAMAConfig, impl: str):
+def _window_fn(config: MLLAMAConfig, impl: str, kv_dtype: Optional[str] = None):
     """Jitted: window ids [1, W] → (sum NLL over next-token predictions,
-    count, logits [1, W, V])."""
+    count, logits [1, W, V]). ``kv_dtype="int8"`` routes the prefill through
+    a quantized KV cache so the int8-KV rounding error is part of the
+    measured quality (the serving int8-KV mode's actual numerics)."""
     from llama32mm_tpu.models.language import causal_lm_forward
     from llama32mm_tpu.ops.attention import AttnMask
+    from llama32mm_tpu.utils.kvcache import init_kv_cache
 
     tc = config.text_config
 
@@ -46,9 +49,13 @@ def _window_fn(config: MLLAMAConfig, impl: str):
             kv_valid=(jnp.arange(w)[None, :] < n_valid).astype(jnp.int32),
             q_offset=jnp.asarray(0, jnp.int32),
         )
+        kv = None
+        if kv_dtype is not None:
+            kv = init_kv_cache(tc, ids.shape[0], max_length=w,
+                               dtype=jnp.dtype(kv_dtype))
         logits, _ = causal_lm_forward(
             params["language_model"], tc, input_ids=ids, attention_mask=mask,
-            impl=impl,
+            kv_cache=kv, impl=impl,
         )
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -81,14 +88,15 @@ def perplexity(
     token_ids,
     window: int = 2048,
     impl: str = "auto",
+    kv_dtype: Optional[str] = None,
 ) -> dict:
     """Teacher-forced perplexity of the text decoder over ``token_ids``
     (1-D array/list). Windows are independent (no cross-window context —
     the standard strided-eval simplification); one executable serves every
-    window."""
+    window. ``kv_dtype="int8"`` includes the int8-KV rounding error."""
     ids = np.asarray(token_ids).reshape(-1)
     window = int(min(window, max(2, ids.shape[0])))
-    fn = _window_fn(config, impl)
+    fn = _window_fn(config, impl, kv_dtype)
     total_nll, total_tok = 0.0, 0.0
     for piece, n_valid in _windows(ids, window):
         nll, cnt, _ = fn(params, jnp.asarray(piece), jnp.asarray(n_valid, jnp.int32))
@@ -112,18 +120,22 @@ def agreement(
     token_ids,
     window: int = 2048,
     impl: str = "auto",
+    kv_dtype_b: Optional[str] = None,
 ) -> dict:
     """Greedy next-token top-1 agreement + mean |Δlogit| between two
     parameter sets on the same stream (the quantization-quality metric —
-    docs/serving.md 'speed × quality')."""
+    docs/serving.md 'speed × quality'). ``kv_dtype_b`` runs the B side
+    through a quantized KV cache (serving-mode numerics; the A side stays
+    the clean reference)."""
     ids = np.asarray(token_ids).reshape(-1)
     window = int(min(window, max(2, ids.shape[0])))
     fn = _window_fn(config, impl)
+    fn_b = _window_fn(config, impl, kv_dtype_b) if kv_dtype_b else fn
     match, total, dsum = 0.0, 0.0, 0.0
     for piece, n_valid in _windows(ids, window):
         pj, nj = jnp.asarray(piece), jnp.asarray(n_valid, jnp.int32)
         _, _, la = fn(params_a, pj, nj)
-        _, _, lb = fn(params_b, pj, nj)
+        _, _, lb = fn_b(params_b, pj, nj)
         la, lb = np.asarray(la)[0, : n_valid - 1], np.asarray(lb)[0, : n_valid - 1]
         match += float((la.argmax(-1) == lb.argmax(-1)).sum())
         dsum += float(np.abs(la - lb).mean() * (n_valid - 1))

@@ -72,17 +72,37 @@ def make_optimizer(
     max_grad_norm: Optional[float] = 1.0,
     b1: float = 0.9,
     b2: float = 0.999,
+    optimizer: str = "adamw",
 ):
     """The exact optax chain ``make_train_step`` trains with (exposed so AOT
-    tooling can rebuild the identical opt-state tree structure)."""
+    tooling can rebuild the identical opt-state tree structure).
+
+    ``optimizer``: ``"adamw"`` (default) or ``"adafactor"``. Adafactor keeps
+    factored second-moment statistics (one row + one column vector per
+    matrix instead of two full moment trees) — the difference between full
+    fine-tuning fitting on a single 16 GB chip or not at 3B scale: AdamW
+    moments for a 3.2B-param model are ~13 GB on top of params+grads,
+    Adafactor's are ~5 MB."""
     import optax
 
     chain = []
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(
-        optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
-    )
+    if optimizer == "adamw":
+        chain.append(
+            optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+        )
+    elif optimizer == "adafactor":
+        chain.append(
+            optax.adafactor(
+                learning_rate=learning_rate,
+                multiply_by_parameter_scale=False,
+                momentum=None,
+                weight_decay_rate=weight_decay or None,
+            )
+        )
+    else:
+        raise ValueError(f"optimizer must be 'adamw' or 'adafactor', got {optimizer!r}")
     return optax.chain(*chain)
 
 
@@ -102,6 +122,7 @@ def make_train_step(
     zero1_axis: str = "dp",
     zero1_masters: bool = False,
     accum_steps: int = 1,
+    optimizer: str = "adamw",
 ):
     """Build ``(init_state, train_step)`` for full fine-tuning.
 
@@ -125,7 +146,8 @@ def make_train_step(
     """
     import optax
 
-    tx = make_optimizer(learning_rate, weight_decay, max_grad_norm, b1, b2)
+    tx = make_optimizer(learning_rate, weight_decay, max_grad_norm, b1, b2,
+                        optimizer=optimizer)
     cdt = None if compute_dtype is None else jnp.dtype(compute_dtype)
 
     if zero1_params is not None:

@@ -1,0 +1,304 @@
+"""Trained-weights quality artifact at bench scale (VERDICT r4 #4).
+
+Every at-scale quality number so far rested on random-init weights (the
+hub is unreachable — no real checkpoint exists in this environment), and
+quantization agreement on random weights is a worst-case caveat, not a
+serving claim. This script closes most of that gap with the framework's own
+pipeline: FULL fine-tune of the exact 3B bench-config text decoder
+(bench.py::bench_config shapes — vocab 128256, h=3072, 28 layers,
+inter=8192, GQA 24/8) on a real local corpus, then the quantized-mode
+quality matrix on the TRAINED weights.
+
+  python scripts/train_3b_quality.py train      # TPU: byte-level LM full-FT
+                                                #   (Adafactor, remat, chunked CE,
+                                                #   resumable; ~2.2 s/step @ [4,2048])
+  python scripts/train_3b_quality.py evaluate   # TPU: held-out perplexity +
+                                                #   top-1 agreement + |dlogit| for
+                                                #   bf16 / int8 / int8+int8KV /
+                                                #   int4 / mixed, vs the bf16 net
+
+Corpus: ~24 MB of Python standard-library + installed-package source
+(real, structured text available in this air-gapped image), tokenized
+byte-level into the model's 128256-entry vocab (ids 0-255 = bytes,
+256 = EOS, 257 = pad). Training only ever touches 258 of the 128256 rows —
+irrelevant for the purpose: the decoder matrices end up carrying trained
+structure, which is what the quantization-quality question is about.
+
+Results append to docs/TRAINED_QUALITY.jsonl (ts + rev stamped); the
+serving-mode quality table in docs/serving.md quotes them.
+
+Reference tie-in: the trainer is the loop the reference README describes
+but never ships (SURVEY §3.4); the loss is its shifted-CE semantics
+(Model/model.py:431-438).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+STATE_PATH = os.environ.get("TRAIN3B_STATE", "/root/train3b_state.safetensors")
+RECORD = os.path.join(os.path.dirname(__file__), "..", "docs", "TRAINED_QUALITY.jsonl")
+
+EOS_ID = 256
+PAD_ID = 257
+SEQ_LEN = 2048
+BATCH = 4
+HELDOUT_BYTES = 1 << 18  # 256 KB tail held out from training
+CORPUS_CAP = 24 * (1 << 20)
+INT4_GROUP = 128
+
+
+def _git_rev():
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        return "?"
+
+
+def record(obj):
+    obj = {**obj, "ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "rev": _git_rev()}
+    line = json.dumps(obj)
+    print(line, flush=True)
+    with open(RECORD, "a") as f:
+        f.write(line + "\n")
+
+
+def build_corpus() -> bytes:
+    """Deterministic walk over local Python source trees, concatenated with
+    newline separators, capped at CORPUS_CAP bytes."""
+    roots = [
+        "/usr/lib/python3.11",
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),  # this repo
+    ]
+    # site-packages source (jax, numpy, ... — large, real, structured)
+    for sp in sys.path:
+        if sp.endswith("site-packages") or sp.endswith("dist-packages"):
+            roots.append(sp)
+            break
+    chunks, total = [], 0
+    for root in roots:
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            if "__pycache__" in dirpath or "/tests/" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if not fn.endswith((".py", ".md", ".rst")):
+                    continue
+                try:
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        data = f.read()
+                except OSError:
+                    continue
+                if not data or b"\x00" in data[:1024]:
+                    continue
+                chunks.append(data)
+                total += len(data) + 1
+                if total >= CORPUS_CAP:
+                    return b"\n".join(chunks)[:CORPUS_CAP]
+    return b"\n".join(chunks)[:CORPUS_CAP]
+
+
+def bench_text_config():
+    if os.environ.get("TRAIN3B_TINY"):  # CPU smoke mode (tests/dev)
+        from llama32mm_tpu.configs import tiny_mllama_config
+
+        return tiny_mllama_config()
+    from bench import bench_config
+
+    return bench_config("bfloat16")
+
+
+def make_params(key):
+    """Text-only tree (no vision tower — evaluate.py and the quantized modes
+    are decoder-only; dropping ViT-H frees 1.3 GB of HBM for grads)."""
+    import jax
+
+    from llama32mm_tpu.models.language import init_causal_lm_params
+
+    cfg = bench_text_config()
+    lm = jax.jit(
+        lambda k: init_causal_lm_params(k, cfg.text_config, tie_weights=True)
+    )(key)
+    return cfg, {"language_model": lm}
+
+
+def train(steps: int = 3500, lr: float = 6e-4, log_every: int = 25,
+          save_every: int = 250):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama32mm_tpu.train.data import PackedBatchIterator
+    from llama32mm_tpu.train.full import (
+        load_full_train_state,
+        make_train_step,
+        save_full_train_state,
+    )
+    import optax
+
+    data = build_corpus()
+    train_bytes = data[:-HELDOUT_BYTES]
+    print(f"corpus: {len(data)/1e6:.1f} MB ({len(train_bytes)/1e6:.1f} train)",
+          flush=True)
+    # one "document" per source-file-sized slice keeps doc boundaries real
+    chunk = 1 << 16
+    docs = [np.frombuffer(train_bytes[i:i + chunk], dtype=np.uint8).astype(np.int32)
+            for i in range(0, len(train_bytes), chunk)]
+
+    cfg, params = make_params(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    warm = min(200, max(1, steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=warm, decay_steps=steps + warm, end_value=lr * 0.1
+    )
+    init_state, step_fn = make_train_step(
+        cfg, learning_rate=sched, optimizer="adafactor", max_grad_norm=1.0,
+        remat=True, loss_chunk=512,
+    )
+    state = init_state(params)
+    del params
+    start_step = 0
+    if os.path.exists(STATE_PATH):
+        state = load_full_train_state(STATE_PATH, state)
+        start_step = int(np.asarray(state.step))
+        print(f"resumed from step {start_step}", flush=True)
+
+    it = PackedBatchIterator(
+        docs, batch_size=BATCH, seq_len=SEQ_LEN, eos_id=EOS_ID, pad_id=PAD_ID,
+        seed=1,
+    )
+    for _ in range(start_step):  # replay the stream position on resume
+        next(it)
+
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+    t_last, losses = time.time(), []
+    for i in range(start_step, steps):
+        batch = next(it)
+        state, loss = jstep(
+            state,
+            {"input_ids": jnp.asarray(batch["input_ids"]),
+             "labels": jnp.asarray(batch["labels"])},
+            jax.random.PRNGKey(i),
+        )
+        if (i + 1) % log_every == 0:
+            losses.append(float(np.asarray(loss)))
+            dt = (time.time() - t_last) / log_every
+            t_last = time.time()
+            print(f"step {i+1}/{steps} loss {losses[-1]:.4f} "
+                  f"({dt*1e3:.0f} ms/step, {BATCH*SEQ_LEN/dt:.0f} tok/s)",
+                  flush=True)
+        if (i + 1) % save_every == 0 or i + 1 == steps:
+            save_full_train_state(STATE_PATH, state)
+            print(f"saved state at step {i+1}", flush=True)
+    record({
+        "phase": "train",
+        "steps": steps,
+        "final_loss_nats_per_byte": losses[-1] if losses else None,
+        "loss_curve_tail": losses[-8:],
+        "config": "3B bench shapes text-only, byte-level LM, full-FT "
+                  f"adafactor lr={lr}, [{BATCH},{SEQ_LEN}], remat+chunked-CE",
+        "corpus_mb": round(len(data) / 1e6, 1),
+        "backend": jax.default_backend(),
+    })
+
+
+def _perplexity_and_agreement(cfg, params_bf16, modes, ids_heldout):
+    """For each named mode build the quantized params, measure held-out
+    perplexity and (top-1 agreement, mean |dlogit|) vs bf16 on the same
+    windows. Modes are built one at a time and freed (16 GB chip)."""
+    import gc
+
+    import jax
+    import numpy as np
+
+    from llama32mm_tpu.evaluate import agreement, perplexity
+
+    out = {}
+    ppl_bf16 = perplexity(params_bf16, cfg, ids_heldout, window=SEQ_LEN)
+    out["bf16"] = {"ppl": round(ppl_bf16["perplexity"], 4),
+                   "nll": round(ppl_bf16["nll_per_token"], 4)}
+    for name, build in modes:
+        q = build(params_bf16)
+        kvd = "int8" if name.endswith("kv") else None
+        ppl = perplexity(q, cfg, ids_heldout, window=SEQ_LEN, kv_dtype=kvd)
+        agr = agreement(params_bf16, q, cfg, ids_heldout, window=SEQ_LEN,
+                        kv_dtype_b=kvd)
+        out[name] = {
+            "ppl": round(ppl["perplexity"], 4),
+            "nll": round(ppl["nll_per_token"], 4),
+            "top1_agreement": round(agr["top1_agreement"], 4),
+            "mean_abs_dlogit": round(agr["mean_abs_dlogit"], 4),
+        }
+        del q
+        gc.collect()
+        jax.clear_caches()
+    return out
+
+
+def evaluate(steps: int = 3500, lr: float = 6e-4):
+    import gc
+
+    import jax
+    import numpy as np
+    import optax
+
+    from llama32mm_tpu.ops.quant import INT4_MIXED_RECIPE, quantize_llama_params
+    from llama32mm_tpu.train.full import load_full_train_state, make_train_step
+
+    data = build_corpus()
+    held = np.frombuffer(data[-HELDOUT_BYTES:], dtype=np.uint8).astype(np.int32)
+    ids_heldout = held[: 8 * SEQ_LEN]  # 16k held-out tokens (8 eval windows)
+
+    cfg, params = make_params(jax.random.PRNGKey(0))
+    # the opt-state TREE must match the saved one: same schedule object kind
+    warm = min(200, max(1, steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=warm, decay_steps=steps + warm, end_value=lr * 0.1
+    )
+    init_state, _ = make_train_step(cfg, learning_rate=sched, optimizer="adafactor")
+    state = init_state(params)
+    state = load_full_train_state(STATE_PATH, state)
+    trained_step = int(np.asarray(state.step))
+    params = state.full_params()
+    del state
+    gc.collect()
+
+    def q8(p):
+        return quantize_llama_params(p, bits=8)
+
+    def q4(p):
+        return quantize_llama_params(p, bits=4, group_size=INT4_GROUP)
+
+    def qmixed(p):
+        return quantize_llama_params(p, recipe=INT4_MIXED_RECIPE,
+                                     group_size=INT4_GROUP)
+
+    modes = [("int8", q8), ("int8kv", q8), ("int4", q4), ("mixed", qmixed)]
+    results = _perplexity_and_agreement(cfg, params, modes, ids_heldout)
+    record({
+        "phase": "evaluate",
+        "trained_steps": trained_step,
+        "heldout_tokens": int(ids_heldout.shape[0]),
+        "modes": results,
+        "backend": jax.default_backend(),
+    })
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "train":
+        train(steps=int(sys.argv[2]) if len(sys.argv) > 2 else 3500)
+    elif sys.argv[1] == "evaluate":
+        evaluate()
+    else:
+        raise SystemExit("usage: train_3b_quality.py train [steps] | evaluate")
