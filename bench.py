@@ -265,7 +265,7 @@ def main() -> None:
     # must be measured in THIS run, not pinned from a prior session). Each
     # probe is a subprocess so its weight set never shares HBM with the bench
     # params — and they run FIRST, before this process claims the chip.
-    sol_bf16 = sol_11b = None
+    sol_bf16 = sol_11b = sol_11b_int4 = None
     if not os.environ.get("BENCH_SKIP_SOL") and "cpu" not in os.environ.get(
         "JAX_PLATFORMS", ""
     ):
@@ -291,10 +291,13 @@ def main() -> None:
             except Exception:
                 return None
 
-        _progress("same-run decode-SoL probes (2 subprocesses, ~2 min each)")
+        _progress("same-run decode-SoL probes (3 subprocesses, ~2-4 min each)")
         sol_bf16 = _sol_probe("bench_decode_sol.py")
         sol_11b = _sol_probe("bench_decode_sol_11b_int8.py")
-        _progress(f"SoL probes: bf16={sol_bf16} int8_11b={sol_11b}")
+        sol_11b_int4 = _sol_probe("bench_int4_decode_sol.py")
+        _progress(
+            f"SoL probes: bf16={sol_bf16} int8_11b={sol_11b} int4_11b={sol_11b_int4}"
+        )
 
     backend = jax.default_backend()
     dev = jax.devices()[0]
@@ -480,7 +483,7 @@ def main() -> None:
                 gc.collect()
                 jax.clear_caches()
                 _progress("11B int4 section: param init")
-                m11b.update(bench_11b_int4(cfg11, hbm_gbps))
+                m11b.update(bench_11b_int4(cfg11, hbm_gbps, sol=sol_11b_int4))
             except Exception as e:
                 _progress(f"11B int4 section failed: {type(e).__name__}: {e}")
 
@@ -722,12 +725,16 @@ def bench_11b_int8(cfg11: MLLAMAConfig, hbm_gbps: float, sol: dict | None = None
 INT4_GROUP = 128
 
 
-def random_int4_vlm_params(cfg: MLLAMAConfig):
-    """Random 11B params with ALL decoder linears + lm_head int4
-    packed-nibble (per-group-128 scales), vision/embeddings bf16 — built by
-    swapping q4 leaves into :func:`random_int8_vlm_params`'s tree (packed
-    bytes drawn host-side: uint8 bulk randomness is cheap and layer-unique,
-    so no buffer-dedup hazard — see the int8 builder's docstring)."""
+def random_int4_vlm_params(cfg: MLLAMAConfig, mixed: bool = False):
+    """Random 11B params with decoder linears + lm_head int4 packed-nibble
+    (per-group-128 scales), vision/embeddings bf16 — built by swapping q4
+    leaves into :func:`random_int8_vlm_params`'s tree (packed bytes drawn
+    host-side: uint8 bulk randomness is cheap and layer-unique, so no
+    buffer-dedup hazard — see the int8 builder's docstring).
+
+    ``mixed=True`` builds the INT4_MIXED_RECIPE shape instead: gate/up +
+    lm_head int4, attention + w_down stay int8 (the quality recipe,
+    ops/quant.py::INT4_MIXED_RECIPE)."""
     tc = cfg.text_config
     rng = np.random.default_rng(0)
 
@@ -744,24 +751,28 @@ def random_int4_vlm_params(cfg: MLLAMAConfig):
         tc.n_layers,
     )
     blocks = params["language_model"]["model"]["blocks"]
-    blocks["att"]["W_query"]["weight"] = q4leaf((L, h, nq * hd))
-    blocks["att"]["W_key"]["weight"] = q4leaf((L, h, nkv * hd))
-    blocks["att"]["W_value"]["weight"] = q4leaf((L, h, nkv * hd))
-    blocks["att"]["out_proj"]["weight"] = q4leaf((L, nq * hd, h))
+    if not mixed:
+        blocks["att"]["W_query"]["weight"] = q4leaf((L, h, nq * hd))
+        blocks["att"]["W_key"]["weight"] = q4leaf((L, h, nkv * hd))
+        blocks["att"]["W_value"]["weight"] = q4leaf((L, h, nkv * hd))
+        blocks["att"]["out_proj"]["weight"] = q4leaf((L, nq * hd, h))
+        blocks["ff"]["w_down"]["weight"] = q4leaf((L, inter, h))
     blocks["ff"]["swiglu"]["w_gate"] = q4leaf((L, h, inter))
     blocks["ff"]["swiglu"]["w_up"] = q4leaf((L, h, inter))
-    blocks["ff"]["w_down"]["weight"] = q4leaf((L, inter, h))
     params["language_model"]["lm_head"]["weight"] = q4leaf((h, tc.vocab_size))
     return params
 
 
-def bench_11b_int4(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
-    """11B north-star shapes with every decoder linear + head int4
-    packed-nibble (g=128) + int8 KV — since the shift-free unpack kernel
+def bench_11b_int4(cfg11: MLLAMAConfig, hbm_gbps: float, mixed: bool = False,
+                   sol: dict | None = None) -> dict:
+    """11B north-star shapes with decoder linears + head int4 packed-nibble
+    (g=128) + int8 KV — since the shift-free unpack kernel
     (ops/pallas/gemv.py::_int4_kernel_post) this is the FASTEST 11B serving
-    mode on one chip, not just the smallest (~7.2 GB weights)."""
+    mode on one chip, not just the smallest (~7.2 GB weights).
+    ``mixed=True`` measures the INT4_MIXED_RECIPE layout instead
+    (gate/up + head int4, attention + w_down int8; ``m11b_mixed_*`` fields)."""
     tc = cfg11.text_config
-    params = random_int4_vlm_params(cfg11)
+    params = random_int4_vlm_params(cfg11, mixed=mixed)
     ids, raw, s = make_inputs(cfg11, seed=5)
 
     @jax.jit
@@ -789,15 +800,30 @@ def bench_11b_int4(cfg11: MLLAMAConfig, hbm_gbps: float) -> dict:
     # — live q4 packed + fp32 group scale + bf16 norm leaves + int8 KV).
     mean_ctx = s + (128 + 16) // 2
     roofline = hbm_gbps * 1e9 / int4_decode_step_bytes(params, cfg11, mean_ctx)
+    p = "m11b_mixed" if mixed else "m11b_int4"
+    desc = ("int4 gate/up+head, int8 attn+w_down (mixed recipe)" if mixed
+            else "int4 packed weights (g=128)")
     return {
-        "m11b_int4_decode_tokens_per_sec": round(tps, 2),
-        "m11b_int4_decode_spread": round(spread, 2),
-        "m11b_int4_roofline_tokens_per_sec": round(roofline, 2),
-        "m11b_int4_vs_roofline": round(tps / roofline, 4),
-        "m11b_int4_ttft_p50_ms": round(ttft * 1e3, 1),
-        "m11b_int4_weights_gb": round(sum(x.nbytes for x in jax.tree.leaves(params)) / 1e9, 2),
-        "m11b_int4_config": "llama3.2-11B-Vision shapes, int4 packed weights "
-                            "(g=128) + int8 KV, 1 chip",
+        f"{p}_decode_tokens_per_sec": round(tps, 2),
+        f"{p}_decode_spread": round(spread, 2),
+        f"{p}_roofline_tokens_per_sec": round(roofline, 2),
+        f"{p}_vs_roofline": round(tps / roofline, 4),
+        # achievable ceiling: the int4 decode's exact access pattern (the
+        # engine's own stacked packed-nibble Pallas kernels + int8 KV dots)
+        # stripped of all model overhead — measured in THIS run by
+        # scripts/bench_int4_decode_sol.py when available (VERDICT r4 #1).
+        **(
+            {
+                f"{p}_sol_steps_per_sec": sol["sol_steps_per_sec"],
+                f"{p}_vs_sol": round(tps / sol["sol_steps_per_sec"], 4),
+                f"{p}_sol_source": "same-run probe",
+            }
+            if sol
+            else {}
+        ),
+        f"{p}_ttft_p50_ms": round(ttft * 1e3, 1),
+        f"{p}_weights_gb": round(sum(x.nbytes for x in jax.tree.leaves(params)) / 1e9, 2),
+        f"{p}_config": f"llama3.2-11B-Vision shapes, {desc} + int8 KV, 1 chip",
     }
 
 

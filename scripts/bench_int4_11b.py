@@ -24,7 +24,9 @@ from llama32mm_tpu.configs import llama32_11b_vision_config  # noqa: E402
 
 def main():
     cfg = llama32_11b_vision_config(max_cache_length=CACHE_LEN)
-    print(json.dumps(bench_11b_int4(cfg, resolve_hbm_gbps())), flush=True)
+    mixed = "--mixed" in sys.argv
+    print(json.dumps(bench_11b_int4(cfg, resolve_hbm_gbps(), mixed=mixed)),
+          flush=True)
 
 
 if __name__ == "__main__":

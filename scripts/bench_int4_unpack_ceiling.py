@@ -62,12 +62,14 @@ def timeit(make_run, iters=PASSES):
     return (float(np.percentile(tl, 50)) - float(np.percentile(ts_, 50))) / (iters - short)
 
 
-def micro_call(kernel_body, q4, bn, extra_inputs=()):
+def micro_call(kernel_body, shape3, bn):
     """pallas_call over the stacked packed array with the real kernel's
-    grid/BlockSpec geometry; extra_inputs are [r, k]-ish VMEM operands."""
-    Ls, k2, n = q4.shape
+    grid/BlockSpec geometry. The returned callable takes the packed array as
+    an ARGUMENT (closing over a concrete 1.1 GB array would embed it as a
+    jit constant — pathological compile times through the remote compiler)."""
+    Ls, k2, n = shape3
 
-    def call(lidx, *extras):
+    def call(lidx, q4, *extras):
         in_specs = [
             pl.BlockSpec((1, k2, bn), lambda i, l: (l[0], 0, i),
                          memory_space=pltpu.VMEM),
@@ -141,7 +143,7 @@ def make_runner(call_fn, q4, *extras):
     def run(npass, q4, *extras):
         def passes(c, _):
             def layer(c, l):
-                y = call_fn(l.reshape(1), *extras)
+                y = call_fn(l.reshape(1), q4, *extras)
                 return c + jnp.sum(y[:1, :8]) * 1e-20, None
 
             c, _ = jax.lax.scan(layer, c, jnp.arange(L, dtype=jnp.int32))
@@ -184,7 +186,7 @@ def main():
                 ("i8-both-dot", k_i8_both_dot, (xq,)),
             ):
                 try:
-                    call = micro_call(body, q4, bn)
+                    call = micro_call(body, q4.shape, bn)
                     t = timeit(make_runner(call, q4, *extras))
                     rows.append(f"{kname} {gb/t:6.1f} GB/s")
                 except Exception as e:
@@ -192,10 +194,10 @@ def main():
             # the shipped kernel at this block size, r=1 (decode shape)
             try:
                 t = timeit(make_runner(
-                    lambda l, x_, q4=q4, scale=scale, bb=bb_mb: (
+                    lambda l, q4_, scale_, x_, bb=bb_mb: (
                         int4_gemv_stacked_pallas(
-                            x_, q4, scale, l[0], block_bytes=bb * _MB)
-                    ), q4, x1full))
+                            x_, q4_, scale_, l[0], block_bytes=bb * _MB)
+                    ), q4, scale, x1full))
                 rows.append(f"post {gb/t:6.1f} GB/s")
             except Exception as e:
                 rows.append(f"post FAIL({type(e).__name__}:{str(e)[:60]})")
