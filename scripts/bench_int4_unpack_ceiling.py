@@ -103,29 +103,29 @@ def micro_call(kernel_body, shape3, bn):
     return call
 
 
-def k_stream(w_ref, out_ref):
+def k_stream(l_ref, w_ref, out_ref):
     # full block DMA'd; compute touches 8 rows only
     out_ref[:] = w_ref[0, :8, :].astype(jnp.int8).astype(jnp.float32)
 
 
-def k_bc_dot(w_ref, x_ref, out_ref):
+def k_bc_dot(l_ref, w_ref, x_ref, out_ref):
     bc = w_ref[0].astype(jnp.int16).astype(jnp.bfloat16)
     out_ref[:] = jnp.dot(x_ref[:], bc, preferred_element_type=jnp.float32)
 
 
-def k_lo_dot(w_ref, x_ref, out_ref):
+def k_lo_dot(l_ref, w_ref, x_ref, out_ref):
     lo = (w_ref[0] & 0xF).astype(jnp.int8).astype(jnp.bfloat16)
     out_ref[:] = jnp.dot(x_ref[:], lo, preferred_element_type=jnp.float32)
 
 
-def k_i8_lo_dot(w_ref, xq_ref, out_ref):
+def k_i8_lo_dot(l_ref, w_ref, xq_ref, out_ref):
     lo = (w_ref[0] & 0xF).astype(jnp.int8)
     out_ref[:] = jnp.dot(
         xq_ref[:], lo, preferred_element_type=jnp.int32
     ).astype(jnp.float32)
 
 
-def k_i8_both_dot(w_ref, xq_ref, out_ref):
+def k_i8_both_dot(l_ref, w_ref, xq_ref, out_ref):
     # the full W4A8 unpack: lo = b & 0xF as s8; bfull = (b ^ 0x80) as s8
     # (= b - 128 exactly); 2 lane-ops/byte + 2 s8 MXU dots. Nibble recovery
     # (Σx·u_hi = (dot(x,b) - dot(x,u_lo))/16) happens outside in fp32 — this
