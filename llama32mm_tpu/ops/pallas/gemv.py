@@ -350,6 +350,72 @@ def _int4_kernel_post(l_ref, x_ref, xsum_ref, w_ref, scale_ref, out_ref,
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
+def _int4_kernel_w4a8(l_ref, xq_ref, xqsumlo_ref, ax_ref, w_ref, scale_ref,
+                      out_ref, *, g2, ng, chunk_rows):
+    """W4A8 int4 gemv block — int8 MXU dots, 3 lane-ops per packed byte.
+
+    The v2 bf16 unpack (:func:`_int4_kernel_post`) still pays ~4 VPU lane-ops
+    per byte (AND + i8→bf16 + i16 hop + i16→bf16), and its SoL probe reads
+    only ~468 GB/s of packed bytes vs ~700 for the int8 kernel's stream —
+    the unpack, not the DMA, is the bound. This variant quantizes the
+    ACTIVATION to per-row int8 once per step (``x ≈ ax·xq``, exact row-max
+    scaling — the only numerics change vs W4A16) so both nibble planes feed
+    s8×s8→s32 MXU dots and the unpack needs no int→float cast at all:
+
+      ``lo = (b & 0xF)``            as s8  = ``u_lo``            (1 lane-op)
+      ``hi = ((b ^ 0x80) & 0xF0)``  as s8  = ``16·u_hi − 128``   (2 lane-ops)
+
+    The ``^ 0x80`` top-bit flip makes every masked value fit s8 exactly
+    (offset nibbles ``u ∈ [1,15]`` put ``16·u_hi`` up to 240 — unrepresentable
+    without it). With ``P = 16·dot(xq_lo, lo) + dot(xq_hi, hi)`` (exact in
+    i32: |P| < 2³¹ even at K=64k):
+
+      ``Σ_g xq·(u−8) = P/16 − 8·xqsum_lo_g``
+
+    — the −128 term IS the hi-plane's ``−8·xqsum_hi`` offset removal (8·16),
+    so only the lo-plane rowsums need the end correction dot. Per group the
+    fp32 work is one [r,bn] scale-multiply-accumulate, same as "post"."""
+    r = xq_ref.shape[0]
+    bn = out_ref.shape[1]
+    g = 2 * g2
+    acc = jnp.zeros((r, bn), jnp.float32)
+
+    def planes(b):
+        lo = (b & 0xF).astype(jnp.int8)
+        hi = ((b ^ 0x80) & 0xF0).astype(jnp.int8)
+        return lo, hi
+
+    if g2 <= chunk_rows:
+        for g0 in range(ng):
+            lo, hi = planes(w_ref[0, g0 * g2:(g0 + 1) * g2, :])
+            a = jnp.dot(xq_ref[:, g0 * g:g0 * g + g2], lo,
+                        preferred_element_type=jnp.int32)
+            h = jnp.dot(xq_ref[:, g0 * g + g2:(g0 + 1) * g], hi,
+                        preferred_element_type=jnp.int32)
+            p = a * 16 + h
+            acc = acc + p.astype(jnp.float32) * (
+                scale_ref[0, g0:g0 + 1, :] * 0.0625
+            )
+    else:
+        # few huge groups (per-channel int4: ng == 1) — sub-chunk packed rows
+        for g0 in range(ng):
+            p = jnp.zeros((r, bn), jnp.int32)
+            for rs in range(0, g2, chunk_rows):
+                rl = min(chunk_rows, g2 - rs)
+                lo, hi = planes(w_ref[0, g0 * g2 + rs:g0 * g2 + rs + rl, :])
+                p = p + jnp.dot(xq_ref[:, g0 * g + rs:g0 * g + rs + rl], lo,
+                                preferred_element_type=jnp.int32) * 16
+                p = p + jnp.dot(
+                    xq_ref[:, g0 * g + g2 + rs:g0 * g + g2 + rs + rl], hi,
+                    preferred_element_type=jnp.int32)
+            acc = acc + p.astype(jnp.float32) * (
+                scale_ref[0, g0:g0 + 1, :] * 0.0625
+            )
+    acc = acc - 8.0 * jnp.dot(xqsumlo_ref[:], scale_ref[0],
+                              preferred_element_type=jnp.float32)
+    out_ref[:] = (acc * ax_ref[:]).astype(out_ref.dtype)
+
+
 _INT4_CHUNK_ROWS = 512  # packed rows unpacked per in-kernel step (~BN·4 KB i32)
 
 
@@ -365,7 +431,16 @@ def _int4_xplanes(x2d, k2: int, ng: int):
     return x_lo, x_hi, xsum
 
 
-_INT4_VARIANT = "post"  # chip A/B winner (scripts/bench_int4_kernel.py)
+import os as _os
+
+# Default unpack variant for the int4 decode gemvs. "post" (W4A16 bf16
+# unpack) was the round-4 chip A/B winner (scripts/bench_int4_kernel.py);
+# "w4a8" (s8-MXU unpack) is selectable per-call or via env for A/B — it is
+# the only variant whose numerics differ from the dequantized matmul
+# (per-row int8 activation quantization), so flipping the default is a
+# speed/quality decision measured in scripts/train_3b_quality.py +
+# bench_int4_decode_sol.py, not a pure scheduling one.
+_INT4_VARIANT = _os.environ.get("LLAMA32MM_INT4_VARIANT", "post")
 
 
 def int4_gemv_stacked_pallas(
@@ -387,13 +462,15 @@ def int4_gemv_stacked_pallas(
     stacked HBM array leaves only the packed stream + the VMEM nibble
     unpack — and the unpack cost per byte decides whether int4 beats int8
     (see :func:`_int4_kernel_post`). ``variant``: "post" (u8-native unpack,
-    fp32 per-group post-scale, default), "post-cat" (same, single K=g dot
-    per group), "pre" (v1: i32 unpack, bf16 premultiplied scales)."""
+    fp32 per-group post-scale), "post-cat" (same, single K=g dot per group),
+    "pre" (v1: i32 unpack, bf16 premultiplied scales), "w4a8" (int8-quantized
+    activations + s8 MXU dots — fastest unpack, the one variant whose
+    numerics differ from dequant-matmul; see :func:`_int4_kernel_w4a8`)."""
     variant = variant or _INT4_VARIANT
-    if variant not in ("pre", "post", "post-cat"):
+    if variant not in ("pre", "post", "post-cat", "w4a8"):
         raise ValueError(
-            f"int4 gemv variant must be one of 'pre'/'post'/'post-cat', got "
-            f"{variant!r}"
+            f"int4 gemv variant must be one of 'pre'/'post'/'post-cat'/"
+            f"'w4a8', got {variant!r}"
         )
     shape = x.shape
     L, k2, n = q4.shape
@@ -419,6 +496,41 @@ def int4_gemv_stacked_pallas(
         ),
         interpret=use_interpret(),
     )
+
+    if variant == "w4a8":
+        xf = x2d.astype(jnp.float32)
+        ax = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0  # [r, 1]
+        ax = jnp.where(ax > 0, ax, 1.0)
+        xq = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+        # lo-plane per-group rowsums (exact in f32: |Σ| ≤ g2·127 < 2²⁴)
+        xqsum_lo = jnp.sum(
+            xq.reshape(r, ng, 2, g2)[:, :, 0].astype(jnp.float32), axis=2
+        )  # [r, ng]
+        out = pl.pallas_call(
+            functools.partial(
+                _int4_kernel_w4a8, g2=g2, ng=ng, chunk_rows=_INT4_CHUNK_ROWS,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(cdiv(n, bn),),
+                in_specs=[
+                    pl.BlockSpec((r, k), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r, ng), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r, 1), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, k2, bn), lambda i, l: (l[0], 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ng, bn), lambda i, l: (l[0], 0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((r, bn), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM),
+            ),
+            **common,
+        )(lidx, xq, xqsum_lo, ax.astype(jnp.float32), q4, scale)
+        return out.reshape(*shape[:-1], n)
 
     if variant.startswith("post"):
         xf = x2d.reshape(r, ng, 2, g2).astype(jnp.float32)

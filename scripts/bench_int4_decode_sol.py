@@ -16,7 +16,7 @@ Companion to scripts/bench_decode_sol_11b_int8.py. Two readings:
   question VERDICT r4 Weak #1 asks). scripts/bench_int4_unpack_ceiling.py
   breaks that number down further.
 
-Run: python -u scripts/bench_int4_decode_sol.py [--json]
+Run: python -u scripts/bench_int4_decode_sol.py [--json] [--variant post|w4a8]
 """
 
 from __future__ import annotations
@@ -42,7 +42,25 @@ N_STEPS = 112
 HEAD_BB = 8 * 1024 * 1024  # the engine's int4 lm_head route block size
 
 
+def _arg(flag: str, default: str) -> str:
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
 def main():
+    variant = _arg("--variant", None)
+    # experiment knobs (hypothesis probes, not engine settings): --group N
+    # re-draws the random weights at a different quant group size (dot
+    # granularity: group 128 → K=64 per-plane dots); --block N streams the
+    # stacked weights in N-MB blocks instead of the engine's 8 MB default.
+    group = int(_arg("--group", "0"))
+    if group:
+        import bench as _bench
+
+        _bench.INT4_GROUP = group
+    block_mb = int(_arg("--block", "0"))
+    bb = block_mb * 1024 * 1024 if block_mb else None
     cfg = llama32_11b_vision_config(max_cache_length=CACHE_LEN)
     tc = cfg.text_config
     h, hd, nkv, L = tc.hidden_size, tc.head_dim, tc.n_kv_groups, tc.n_layers
@@ -78,24 +96,25 @@ def main():
         def step(x, _):
             def layer(x, xs):
                 l, kc, vc, ks, vs = xs
-                q = int4_gemv_stacked_pallas(x, weights[0]["q4"], weights[0]["scale"], l)
-                kk = int4_gemv_stacked_pallas(x, weights[1]["q4"], weights[1]["scale"], l)
-                vv = int4_gemv_stacked_pallas(x, weights[2]["q4"], weights[2]["scale"], l)
+                q = int4_gemv_stacked_pallas(x, weights[0]["q4"], weights[0]["scale"], l, variant=variant, block_bytes=bb)
+                kk = int4_gemv_stacked_pallas(x, weights[1]["q4"], weights[1]["scale"], l, variant=variant, block_bytes=bb)
+                vv = int4_gemv_stacked_pallas(x, weights[2]["q4"], weights[2]["scale"], l, variant=variant, block_bytes=bb)
                 attn = jnp.einsum("bnsd,bd->bns", kc.astype(dt), q[:, :hd])
                 attn = attn * ks.astype(dt)
                 ctx = jnp.einsum("bns,bnsd->bd", attn * vs.astype(dt), vc.astype(dt))
-                o = int4_gemv_stacked_pallas(q, weights[3]["q4"], weights[3]["scale"], l)
+                o = int4_gemv_stacked_pallas(q, weights[3]["q4"], weights[3]["scale"], l, variant=variant, block_bytes=bb)
                 x = x + o * 1e-2 + jnp.sum(ctx) * 1e-6 + jnp.sum(kk + vv) * 1e-9
-                g = int4_gemv_stacked_pallas(x, weights[4]["q4"], weights[4]["scale"], l)
-                u = int4_gemv_stacked_pallas(x, weights[5]["q4"], weights[5]["scale"], l)
-                d = int4_gemv_stacked_pallas(g * u, weights[6]["q4"], weights[6]["scale"], l)
+                g = int4_gemv_stacked_pallas(x, weights[4]["q4"], weights[4]["scale"], l, variant=variant, block_bytes=bb)
+                u = int4_gemv_stacked_pallas(x, weights[5]["q4"], weights[5]["scale"], l, variant=variant, block_bytes=bb)
+                d = int4_gemv_stacked_pallas(g * u, weights[6]["q4"], weights[6]["scale"], l, variant=variant, block_bytes=bb)
                 return jnp.clip(x + d * 1e-2, -1.0, 1.0), None
 
             x, _ = jax.lax.scan(
                 layer, x,
                 (jnp.arange(L, dtype=jnp.int32), kcache, vcache, kscale, vscale),
             )
-            logits = int4_gemv_pallas(x, head["q4"], head["scale"], block_bytes=HEAD_BB)
+            logits = int4_gemv_pallas(x, head["q4"], head["scale"], block_bytes=HEAD_BB,
+                                      variant=variant)
             return jnp.clip(x * 0.999 + logits[:, :h] * 1e-6, -1.0, 1.0), None
 
         x, _ = jax.lax.scan(step, x0, None, length=N_STEPS)
@@ -119,6 +138,9 @@ def main():
         dev = jax.devices()[0]
         print(json.dumps({
             "sol_steps_per_sec": round(tok_s, 3),
+            "variant": variant or "default",
+            "group": group or 128,
+            "block_mb": block_mb or 8,
             "effective_gbps": round(bytes_per_step * tok_s / 1e9, 1),
             "backend": jax.default_backend(),
             "device_kind": getattr(dev, "device_kind", "unknown").lower(),

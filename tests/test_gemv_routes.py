@@ -156,6 +156,51 @@ class TestKernels:
             assert errs["post"] <= errs["pre"] + 1e-6
             assert errs["post-cat"] <= errs["pre"] + 1e-6
 
+    def test_int4_w4a8_exact_on_int8_grid(self):
+        """The w4a8 variant's ONLY numerics change is the per-row int8
+        activation quantization: with x already on an exact int8 grid
+        (x = m·i, i ∈ [-127,127]) the kernel must match the dequantized
+        matmul to fp32 accumulation tolerance — the nibble algebra
+        (16·u_hi−128 top-bit flip, offset folding) is exact by construction."""
+        from llama32mm_tpu.ops.pallas.gemv import int4_gemv_stacked_pallas
+        from llama32mm_tpu.ops.quant import dequantize_weight, quantize_weight_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(33))
+        ints = jax.random.randint(k1, (2, 256), -127, 128, jnp.int32)
+        x = (ints.astype(jnp.float32) * 0.0173).astype(jnp.float32)
+        w = _rand(k2, (2, 256, 192))
+        for gs in (64, 256):  # grouped and per-channel (sub-chunk branch)
+            qw = quantize_weight_int4(w, group_size=gs)
+            one = {"q4": qw["q4"][1], "scale": qw["scale"][1]}
+            want = np.asarray(x @ dequantize_weight(one, jnp.float32))
+            got = int4_gemv_stacked_pallas(
+                x, qw["q4"], qw["scale"], jnp.asarray(1),
+                block_bytes=64 * 1024, variant="w4a8",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), want, rtol=1e-4, atol=1e-4
+            )
+
+    def test_int4_w4a8_generic_activation_error(self):
+        """Generic (non-grid) activations: w4a8 differs from the dequant
+        matmul only by the per-row int8 rounding — bounded, small relative
+        error on well-scaled inputs."""
+        from llama32mm_tpu.ops.pallas.gemv import int4_gemv_stacked_pallas
+        from llama32mm_tpu.ops.quant import dequantize_weight, quantize_weight_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(34))
+        x = _rand(k1, (2, 256))
+        w = _rand(k2, (2, 256, 192))
+        qw = quantize_weight_int4(w, group_size=64)
+        one = {"q4": qw["q4"][0], "scale": qw["scale"][0]}
+        want = np.asarray(x @ dequantize_weight(one, jnp.float32))
+        got = np.asarray(int4_gemv_stacked_pallas(
+            x, qw["q4"], qw["scale"], jnp.asarray(0),
+            block_bytes=64 * 1024, variant="w4a8",
+        ), np.float32)
+        scale = np.maximum(np.abs(want), 1.0)
+        assert np.max(np.abs(got - want) / scale) < 0.05
+
     def test_int4_gemv_stacked(self):
         """Stacked int4 gemv indexes the right layer, incl. under a traced
         scan index."""
