@@ -416,6 +416,37 @@ def _int4_kernel_w4a8(l_ref, xq_ref, xqsumlo_ref, ax_ref, w_ref, scale_ref,
     out_ref[:] = (acc * ax_ref[:]).astype(out_ref.dtype)
 
 
+def _int4_kernel_w4a8b(l_ref, xqb_ref, xqsumlo_ref, ax_ref, w_ref, scale_ref,
+                       out_ref, *, g2, ng, chunk_groups):
+    """Batched-dot variant of :func:`_int4_kernel_w4a8`: the per-group s8
+    dots are independent (the f32 accumulation is associative), but the
+    unrolled loop chains them through ``acc`` — this variant makes the
+    independence explicit as ONE ``dot_general`` batched over ``chunk_groups``
+    groups per step, so Mosaic can pipeline the MXU passes back-to-back.
+    Same math, same exactness. The activation arrives group-major
+    ``[ng, r, g]`` (Mosaic requires leading batch dims on both operands)."""
+    r = out_ref.shape[0]
+    bn = out_ref.shape[1]
+    acc = jnp.zeros((r, bn), jnp.float32)
+    for c0 in range(0, ng, chunk_groups):
+        cg = min(chunk_groups, ng - c0)
+        b = w_ref[0, c0 * g2:(c0 + cg) * g2, :]
+        lo = (b & 0xF).astype(jnp.int8).reshape(cg, g2, bn)
+        hi = ((b ^ 0x80) & 0xF0).astype(jnp.int8).reshape(cg, g2, bn)
+        xc = xqb_ref[c0:c0 + cg]  # [cg, r, g]
+        dn = (((2,), (1,)), ((0,), (0,)))  # contract g2, batch over groups
+        a = jax.lax.dot_general(xc[:, :, :g2], lo, dn,
+                                preferred_element_type=jnp.int32)  # [cg, r, bn]
+        h = jax.lax.dot_general(xc[:, :, g2:], hi, dn,
+                                preferred_element_type=jnp.int32)
+        p = a * 16 + h
+        scl = scale_ref[0, c0:c0 + cg, :] * 0.0625  # [cg, bn]
+        acc = acc + jnp.sum(p.astype(jnp.float32) * scl[:, None, :], axis=0)
+    acc = acc - 8.0 * jnp.dot(xqsumlo_ref[:], scale_ref[0],
+                              preferred_element_type=jnp.float32)
+    out_ref[:] = (acc * ax_ref[:]).astype(out_ref.dtype)
+
+
 _INT4_CHUNK_ROWS = 512  # packed rows unpacked per in-kernel step (~BN·4 KB i32)
 
 
@@ -467,10 +498,10 @@ def int4_gemv_stacked_pallas(
     activations + s8 MXU dots — fastest unpack, the one variant whose
     numerics differ from dequant-matmul; see :func:`_int4_kernel_w4a8`)."""
     variant = variant or _INT4_VARIANT
-    if variant not in ("pre", "post", "post-cat", "w4a8"):
+    if variant not in ("pre", "post", "post-cat", "w4a8", "w4a8b"):
         raise ValueError(
             f"int4 gemv variant must be one of 'pre'/'post'/'post-cat'/"
-            f"'w4a8', got {variant!r}"
+            f"'w4a8'/'w4a8b', got {variant!r}"
         )
     shape = x.shape
     L, k2, n = q4.shape
@@ -497,7 +528,20 @@ def int4_gemv_stacked_pallas(
         interpret=use_interpret(),
     )
 
-    if variant == "w4a8":
+    if variant in ("w4a8", "w4a8b"):
+        if variant == "w4a8b" and g2 > _INT4_CHUNK_ROWS:
+            # the batched kernel keeps whole groups' nibble planes resident;
+            # huge per-channel groups need the row-sub-chunking w4a8 body
+            variant = "w4a8"
+        if variant == "w4a8b":
+            kernel = functools.partial(
+                _int4_kernel_w4a8b, g2=g2, ng=ng,
+                chunk_groups=max(1, _INT4_CHUNK_ROWS // g2),
+            )
+        else:
+            kernel = functools.partial(
+                _int4_kernel_w4a8, g2=g2, ng=ng, chunk_rows=_INT4_CHUNK_ROWS,
+            )
         xf = x2d.astype(jnp.float32)
         ax = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0  # [r, 1]
         ax = jnp.where(ax > 0, ax, 1.0)
@@ -506,16 +550,21 @@ def int4_gemv_stacked_pallas(
         xqsum_lo = jnp.sum(
             xq.reshape(r, ng, 2, g2)[:, :, 0].astype(jnp.float32), axis=2
         )  # [r, ng]
+        g = 2 * g2
+        if variant == "w4a8b":  # group-major activation (leading batch dims)
+            xq = xq.reshape(r, ng, g).transpose(1, 0, 2)  # [ng, r, g] — tiny
+            x_spec = pl.BlockSpec((ng, r, g), lambda i, l: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            x_spec = pl.BlockSpec((r, k), lambda i, l: (0, 0),
+                                  memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(
-                _int4_kernel_w4a8, g2=g2, ng=ng, chunk_rows=_INT4_CHUNK_ROWS,
-            ),
+            kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(cdiv(n, bn),),
                 in_specs=[
-                    pl.BlockSpec((r, k), lambda i, l: (0, 0),
-                                 memory_space=pltpu.VMEM),
+                    x_spec,
                     pl.BlockSpec((r, ng), lambda i, l: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((r, 1), lambda i, l: (0, 0),

@@ -173,13 +173,14 @@ class TestKernels:
             qw = quantize_weight_int4(w, group_size=gs)
             one = {"q4": qw["q4"][1], "scale": qw["scale"][1]}
             want = np.asarray(x @ dequantize_weight(one, jnp.float32))
-            got = int4_gemv_stacked_pallas(
-                x, qw["q4"], qw["scale"], jnp.asarray(1),
-                block_bytes=64 * 1024, variant="w4a8",
-            )
-            np.testing.assert_allclose(
-                np.asarray(got, np.float32), want, rtol=1e-4, atol=1e-4
-            )
+            for v in ("w4a8", "w4a8b"):
+                got = int4_gemv_stacked_pallas(
+                    x, qw["q4"], qw["scale"], jnp.asarray(1),
+                    block_bytes=64 * 1024, variant=v,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got, np.float32), want, rtol=1e-4, atol=1e-4
+                )
 
     def test_int4_w4a8_generic_activation_error(self):
         """Generic (non-grid) activations: w4a8 differs from the dequant
