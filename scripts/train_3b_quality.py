@@ -293,6 +293,67 @@ def evaluate(steps: int = 3500, lr: float = 6e-4):
         "modes": results,
         "backend": jax.default_backend(),
     })
+    decode = _decode_agreement(cfg, params, held, q4, qmixed)
+    record({
+        "phase": "decode_agreement",
+        "trained_steps": trained_step,
+        **decode,
+        "backend": jax.default_backend(),
+    })
+
+
+def _decode_agreement(cfg, params_bf16, held, q4, qmixed, prompt_len=256,
+                      new_tokens=128):
+    """Greedy DECODE-path token agreement on the trained net: unlike the
+    perplexity/agreement windows (prefill-shaped, routed through the dequant
+    matmul), engine decode streams the int4 weights through the Pallas gemv
+    kernels — this is the only measurement that captures the kernel-variant
+    numerics, in particular w4a8's per-step int8 activation quantization
+    (ops/pallas/gemv.py::_int4_kernel_w4a8) vs the exact-activation "post"
+    unpack. Reports per-mode token match fraction + common-prefix length vs
+    the bf16 engine's greedy stream."""
+    import gc
+
+    import jax
+    import numpy as np
+
+    from llama32mm_tpu.inference.engine import InferenceEngine
+    from llama32mm_tpu.ops.pallas import gemv as gemv_mod
+
+    ids = np.asarray(held[-4096:], dtype=np.int32)  # held is already int32 ids
+    prompt = jax.numpy.asarray(ids[None, :prompt_len])
+
+    def greedy(p):
+        eng = InferenceEngine(p, cfg, max_cache_length=prompt_len + new_tokens,
+                              kv_dtype=None)
+        toks = np.asarray(eng.generate(
+            prompt, None, max_new_tokens=new_tokens, temperature=0.0,
+            eos_token_id=-1, rng=jax.random.PRNGKey(0),
+        ).tokens)[0]
+        del eng
+        gc.collect()
+        jax.clear_caches()
+        return toks
+
+    ref = greedy(params_bf16)
+    out = {"new_tokens": new_tokens, "prompt_len": prompt_len}
+    variants = [("int4_post", q4, "post"), ("int4_w4a8", q4, "w4a8"),
+                ("mixed_post", qmixed, "post")]
+    for name, build, variant in variants:
+        qp = build(params_bf16)
+        prev = gemv_mod._INT4_VARIANT
+        gemv_mod._INT4_VARIANT = variant
+        try:
+            toks = greedy(qp)
+        finally:
+            gemv_mod._INT4_VARIANT = prev
+            del qp
+            gc.collect()
+        match = float(np.mean(toks == ref))
+        neq = np.nonzero(toks != ref)[0]
+        prefix = int(neq[0]) if neq.size else int(new_tokens)
+        out[name] = {"token_match": round(match, 4), "common_prefix": prefix}
+    return out
 
 
 if __name__ == "__main__":
