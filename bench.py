@@ -419,6 +419,7 @@ def main() -> None:
                 "int4_vs_roofline": round(i4_tps / i4_roofline, 4),
                 "int4_top1_agreement": round(i4_top1, 4),
                 "int4_mean_abs_dlogit": round(i4_dlogit, 4),
+                "int4_kernel_variant": _gemv_variant(),
             }
         except Exception as e:  # never break the driver capture
             _progress(f"int4 3B section failed: {type(e).__name__}: {e}")
@@ -823,8 +824,15 @@ def bench_11b_int4(cfg11: MLLAMAConfig, hbm_gbps: float, mixed: bool = False,
         ),
         f"{p}_ttft_p50_ms": round(ttft * 1e3, 1),
         f"{p}_weights_gb": round(sum(x.nbytes for x in jax.tree.leaves(params)) / 1e9, 2),
+        f"{p}_kernel_variant": _gemv_variant(),
         f"{p}_config": f"llama3.2-11B-Vision shapes, {desc} + int8 KV, 1 chip",
     }
+
+
+def _gemv_variant() -> str:
+    from llama32mm_tpu.ops.pallas import gemv as _g
+
+    return _g._INT4_VARIANT
 
 
 TRAIN_BATCH = 4

@@ -419,6 +419,35 @@ class TestEngineRoutes:
         r1 = routed.generate(ids, max_new_tokens=6, temperature=0.0)
         np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
 
+    def test_generate_routes_int4_w4a8(self):
+        """End-to-end int4 decode through the w4a8 kernel variant (module
+        default flipped for the trace): greedy tokens must match the exact
+        unrouted qlinear path on a net whose margins dominate the activation-
+        quant noise — here the same tiny random net, short horizon."""
+        from llama32mm_tpu.inference.engine import InferenceEngine
+        from llama32mm_tpu.models.language import int4_route_names
+        from llama32mm_tpu.ops.pallas import gemv as gemv_mod
+        from llama32mm_tpu.ops.quant import quantize_llama_params
+
+        cfg = tiny_cfg(tie=False)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg, tie_weights=False)
+        qparams = quantize_llama_params(params, bits=4, group_size=32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, 250)
+        routes = {
+            k: (("stacked", 64 * 1024) if isinstance(v, tuple) else 64 * 1024)
+            for k, v in int4_route_names(qparams).items()
+        }
+        base = InferenceEngine(qparams, cfg, gemv_routes=None)
+        r0 = base.generate(ids, max_new_tokens=6, temperature=0.0)
+        prev = gemv_mod._INT4_VARIANT
+        gemv_mod._INT4_VARIANT = "w4a8"
+        try:
+            routed = InferenceEngine(qparams, cfg, gemv_routes=routes)
+            r1 = routed.generate(ids, max_new_tokens=6, temperature=0.0)
+        finally:
+            gemv_mod._INT4_VARIANT = prev
+        np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
+
     def test_spec_decode_with_routes(self):
         from llama32mm_tpu.inference.engine import InferenceEngine
 
