@@ -487,6 +487,18 @@ def main() -> None:
                 m11b.update(bench_11b_int4(cfg11, hbm_gbps, sol=sol_11b_int4))
             except Exception as e:
                 _progress(f"11B int4 section failed: {type(e).__name__}: {e}")
+            # mixed recipe measured in the SAME run so the all-int4 vs mixed
+            # A/B (VERDICT r4 #2 / docs/serving.md mode table) is a captured
+            # artifact, not a builder-session claim. No SoL probe: the mixed
+            # layout streams the same packed-nibble + int8 planes the two
+            # probes above already bound.
+            try:
+                gc.collect()
+                jax.clear_caches()
+                _progress("11B mixed-recipe section: param init")
+                m11b.update(bench_11b_int4(cfg11, hbm_gbps, mixed=True))
+            except Exception as e:
+                _progress(f"11B mixed section failed: {type(e).__name__}: {e}")
 
     print(
         json.dumps(
