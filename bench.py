@@ -356,10 +356,18 @@ def main() -> None:
     _progress("measuring bf16 decode rate")
     decode_tps, decode_spread = engine_decode_rate(engine, ids, px)
 
+    # Batched aggregate + its roofline (VERDICT r4 #6): on by default on TPU
+    # so batch8_vs_roofline is a captured field, not a builder-session one.
+    # BENCH_SKIP_BATCH=1 skips (~3 min); BENCH_BATCH=1 forces it elsewhere.
     batch_metrics = {}
-    if os.environ.get("BENCH_BATCH"):
-        batch_metrics = batched_throughput(cfg, params, raw, preprocess, batch=8,
-                                           hbm_gbps=hbm_gbps)
+    if os.environ.get("BENCH_BATCH") or (
+        backend == "tpu" and not os.environ.get("BENCH_SKIP_BATCH")
+    ):
+        try:
+            batch_metrics = batched_throughput(cfg, params, raw, preprocess,
+                                               batch=8, hbm_gbps=hbm_gbps)
+        except Exception as e:  # never break the driver capture
+            _progress(f"batched section failed: {type(e).__name__}: {e}")
 
     mean_ctx = s + MAX_NEW // 2
     roofline = decode_roofline_tokens_per_sec(cfg, mean_ctx, hbm_gbps)

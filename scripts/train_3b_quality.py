@@ -50,7 +50,7 @@ SEQ_LEN = 2048
 BATCH = 4
 HELDOUT_BYTES = 1 << 18  # 256 KB tail held out from training
 CORPUS_CAP = 24 * (1 << 20)
-INT4_GROUP = 128
+INT4_GROUP = 16 if os.environ.get("TRAIN3B_TINY") else 128  # tiny dims < 128
 
 
 def _git_rev():
@@ -358,7 +358,12 @@ def _decode_agreement(cfg, params_bf16, held, q4, qmixed, prompt_len=256,
 
 if __name__ == "__main__":
     if sys.argv[1] == "train":
-        train(steps=int(sys.argv[2]) if len(sys.argv) > 2 else 3500)
+        train(steps=int(sys.argv[2]) if len(sys.argv) > 2 else 3500,
+              # optional 3rd arg: save cadence. Through the axon tunnel a
+              # state save is a ~6 GB device->host fetch at ~15 MB/s (~8 min)
+              # — on a real TPU VM the default 250 is right, here pass a
+              # large value so only the final save pays it.
+              save_every=int(sys.argv[3]) if len(sys.argv) > 3 else 250)
     elif sys.argv[1] == "evaluate":
         evaluate()
     else:
