@@ -131,14 +131,30 @@ def agreement(
     window = int(min(window, max(2, ids.shape[0])))
     fn = _window_fn(config, impl)
     fn_b = _window_fn(config, impl, kv_dtype_b) if kv_dtype_b else fn
+
+    # Per-window stats reduced ON DEVICE: the raw window logits are
+    # [1, W, 128k] fp32 ≈ 1 GB — fetching them to host per window per net
+    # (the first implementation) costs minutes per mode on a tunneled chip
+    # and 16 GB of host traffic per agreement call; two scalars cost nothing.
+    # Semantics identical to the host version: match = Σ over the first
+    # n_valid-1 positions of (argmax_a == argmax_b); dsum = Σ over those
+    # positions of mean-over-vocab |Δlogit|.
+    @jax.jit
+    def pair_stats(la, lb, n_valid):
+        w = la.shape[1]
+        valid = (jnp.arange(w) < (n_valid - 1)).astype(jnp.float32)
+        hit = (jnp.argmax(la[0], -1) == jnp.argmax(lb[0], -1)).astype(jnp.float32)
+        dmean = jnp.mean(jnp.abs(la[0] - lb[0]), axis=-1)
+        return jnp.sum(hit * valid), jnp.sum(dmean * valid)
+
     match, total, dsum = 0.0, 0.0, 0.0
     for piece, n_valid in _windows(ids, window):
         pj, nj = jnp.asarray(piece), jnp.asarray(n_valid, jnp.int32)
         _, _, la = fn(params_a, pj, nj)
         _, _, lb = fn_b(params_b, pj, nj)
-        la, lb = np.asarray(la)[0, : n_valid - 1], np.asarray(lb)[0, : n_valid - 1]
-        match += float((la.argmax(-1) == lb.argmax(-1)).sum())
-        dsum += float(np.abs(la - lb).mean() * (n_valid - 1))
+        m, d = pair_stats(la, lb, nj)
+        match += float(m)
+        dsum += float(d)
         total += n_valid - 1
     return {
         "top1_agreement": match / total,
