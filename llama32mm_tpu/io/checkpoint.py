@@ -497,6 +497,7 @@ def load_checkpoint_params(
     quantize_int8: bool = False,
     quantize_int4: bool = False,
     int4_group_size: int = 128,
+    int4_recipe: Optional[dict] = None,
     return_report: bool = False,
 ):
     """Load all ``*.safetensors`` under ``model_path`` into this framework's
@@ -524,15 +525,27 @@ def load_checkpoint_params(
     ``ops.quant.quantize_llama_params``).
 
     ``quantize_int4=True``: same streaming scheme but packed int4 with
-    per-(group, channel) scales (``bits=4`` serving capacity mode) — at 11B
-    the bf16 stack cannot exist on one chip, so this is the only route from
-    a checkpoint to int4 serving form there."""
+    per-(group, channel) scales — at 11B the bf16 stack cannot exist on one
+    chip, so this is the only route from a checkpoint to int4 serving form
+    there. ``int4_recipe`` (requires ``quantize_int4=True``) maps weight
+    names to bits exactly like ``quantize_llama_params(recipe=...)`` —
+    pass ``ops.quant.INT4_MIXED_RECIPE`` to stream-load straight into the
+    recommended mixed int4/int8 serving form (gate/up + head int4,
+    attention + w_down int8 — bf16-grade quality on trained weights,
+    docs/serving.md §trained-weights quality); unnamed weights default to
+    int4."""
     from llama32mm_tpu.io.native_st import iter_tensors
 
     if (quantize_int8 or quantize_int4) and not streaming:
         raise ValueError("quantize_int8/int4=True requires streaming=True")
     if quantize_int8 and quantize_int4:
         raise ValueError("choose one of quantize_int8 / quantize_int4")
+    if int4_recipe is not None:
+        if not quantize_int4:
+            raise ValueError("int4_recipe requires quantize_int4=True")
+        bad = set(int4_recipe.values()) - {4, 8}
+        if bad:
+            raise ValueError(f"int4_recipe bits must be 4 or 8, got {sorted(bad)}")
 
     files = sorted(
         os.path.join(model_path, fn)
